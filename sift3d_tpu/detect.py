@@ -1,0 +1,104 @@
+"""DoG extrema detection.
+
+Reference semantics (detect_extrema, /root/reference/sift3d/sift.c:735-871):
+for each DoG level triple (prev, cur, next) the level's own max |DoG| scales
+the relative peak threshold (sift.c:821-829); a voxel in the interior
+[1, n-2]^3 is a candidate iff |value| clears the threshold and the value is
+strictly greater (or strictly less) than every compared neighbor. The default
+comparison set is the 6 face neighbors in cur plus the center voxel of prev
+and next (sift.c:797-810); the compile-time CUBOID_EXTREMA variant compares
+the full 3x3x3 cube in all three levels (80 neighbors, sift.c:761-796).
+Candidates carry integer voxel coordinates at octave resolution, sd = the
+level's absolute scale, and strength = |DoG| (sift.c:851-864).
+
+TPU formulation: the neighbor tests are shifted-slice comparisons fused by
+XLA into one stencil pass; the dynamic-size candidate list becomes a
+fixed-capacity store filled by a cumsum-scatter compaction, keeping every
+shape static under jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .params import DetectorParams
+
+
+class LevelCandidates(NamedTuple):
+    """Fixed-capacity extrema candidates for one (octave, level)."""
+    coords: jnp.ndarray     # i32[capacity, 3] voxel coords at octave res
+    strength: jnp.ndarray   # f32[capacity]
+    valid: jnp.ndarray      # bool[capacity]
+    count: jnp.ndarray      # i32[] true number found (may exceed capacity)
+
+
+def default_capacity(nvox: int) -> int:
+    """Auto candidate capacity per level: generous fraction of the level's
+    voxels, bounded for memory."""
+    return int(min(16384, max(128, nvox // 64)))
+
+
+def _shift(a: jnp.ndarray, dx: int, dy: int, dz: int) -> jnp.ndarray:
+    """View of `a` shifted so index [i,j,k] reads a[1+i+dx, 1+j+dy, 1+k+dz];
+    output covers the interior of the level."""
+    nx, ny, nz = a.shape
+    return a[1 + dx: nx - 1 + dx, 1 + dy: ny - 1 + dy, 1 + dz: nz - 1 + dz]
+
+
+_FACE_OFFSETS = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                 (0, 0, -1), (0, 0, 1)]
+_CUBE_OFFSETS = [(dx, dy, dz)
+                 for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def detect_extrema_level(prev: jnp.ndarray, cur: jnp.ndarray,
+                         next_: jnp.ndarray, params: DetectorParams,
+                         capacity: int) -> LevelCandidates:
+    """Find extrema candidates in one DoG level triple."""
+    nx, ny, nz = cur.shape
+    dogmax = jnp.max(jnp.abs(cur))
+    peak = jnp.float32(params.peak_thresh) * dogmax
+
+    pcur = _shift(cur, 0, 0, 0)
+
+    if params.cuboid_extrema:
+        cur_nbrs = [_shift(cur, *off) for off in _CUBE_OFFSETS
+                    if off != (0, 0, 0)]
+        prev_nbrs = [_shift(prev, *off) for off in _CUBE_OFFSETS]
+        next_nbrs = [_shift(next_, *off) for off in _CUBE_OFFSETS]
+    else:
+        cur_nbrs = [_shift(cur, *off) for off in _FACE_OFFSETS]
+        prev_nbrs = [_shift(prev, 0, 0, 0)]
+        next_nbrs = [_shift(next_, 0, 0, 0)]
+
+    nbrs = cur_nbrs + prev_nbrs + next_nbrs
+    is_max = jnp.ones_like(pcur, dtype=bool)
+    is_min = jnp.ones_like(pcur, dtype=bool)
+    for nb in nbrs:
+        is_max &= pcur > nb
+        is_min &= pcur < nb
+
+    mask = ((pcur > peak) | (pcur < -peak)) & (is_max | is_min)
+
+    # Compact to a fixed-capacity store. Scatter destinations beyond the
+    # capacity are dropped; `count` reports the true number for overflow
+    # detection.
+    flat_mask = mask.ravel()
+    count = jnp.sum(flat_mask, dtype=jnp.int32)
+    dest = jnp.where(flat_mask, jnp.cumsum(flat_mask) - 1, capacity)
+
+    mx, my, mz = pcur.shape
+    ix = jax.lax.broadcasted_iota(jnp.int32, (mx, my, mz), 0) + 1
+    iy = jax.lax.broadcasted_iota(jnp.int32, (mx, my, mz), 1) + 1
+    iz = jax.lax.broadcasted_iota(jnp.int32, (mx, my, mz), 2) + 1
+    coords_all = jnp.stack([ix.ravel(), iy.ravel(), iz.ravel()], axis=-1)
+
+    coords = jnp.zeros((capacity, 3), jnp.int32).at[dest].set(
+        coords_all, mode="drop")
+    strength = jnp.zeros((capacity,), jnp.float32).at[dest].set(
+        jnp.abs(pcur).ravel(), mode="drop")
+    valid = (jnp.arange(capacity) < jnp.minimum(count, capacity))
+    return LevelCandidates(coords, strength, valid, count)

@@ -1,0 +1,45 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices so sharding
+tests exercise pjit/shard_map without TPU hardware, and keep the suite
+independent of the tunnel-attached TPU."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
+
+
+def make_phantom(n, rng=None, nblobs=12, seed=7):
+    """Synthetic multi-blob phantom: sum of anisotropic Gaussian blobs on a
+    smooth background. Deterministic for a given (n, seed)."""
+    rr = np.random.default_rng(seed)
+    x, y, z = np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                          indexing="ij")
+    vol = np.zeros((n, n, n), dtype=np.float64)
+    for _ in range(nblobs):
+        c = rr.uniform(0.15 * n, 0.85 * n, size=3)
+        s = rr.uniform(0.02 * n, 0.12 * n, size=3)
+        amp = rr.uniform(0.3, 1.0) * rr.choice([-1.0, 1.0])
+        vol += amp * np.exp(-(((x - c[0]) / s[0]) ** 2
+                              + ((y - c[1]) / s[1]) ** 2
+                              + ((z - c[2]) / s[2]) ** 2))
+    return vol.astype(np.float32)
+
+
+def make_sphere_phantom(n, radius_frac=0.3):
+    """Hard-edged sphere phantom (BASELINE config 1)."""
+    x, y, z = np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                          indexing="ij")
+    c = (n - 1) / 2.0
+    r2 = (x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2
+    return (r2 <= (radius_frac * n) ** 2).astype(np.float32)
