@@ -1,0 +1,113 @@
+"""Headline benchmark: 256^3 keypoints + descriptors latency on one chip.
+
+Prints one JSON line:
+  {"metric": ..., "value": <ms>, "unit": "ms", "vs_baseline": <speedup>}
+
+vs_baseline is the speedup over the C reference (OpenMP, this host's CPU)
+running the identical workload via the parity oracle; if the oracle cannot be
+built, it falls back to the driver's 50 ms north-star target as denominator.
+
+Usage: python bench.py [--size 256] [--repeats 3] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+
+
+def make_bench_volume(n: int) -> np.ndarray:
+    """MRI-like phantom: smooth anatomy-ish blobs + mild texture."""
+    rng = np.random.default_rng(42)
+    x, y, z = np.meshgrid(*([np.arange(n)] * 3), indexing="ij")
+    vol = np.zeros((n, n, n), dtype=np.float64)
+    for _ in range(40):
+        c = rng.uniform(0.1 * n, 0.9 * n, 3)
+        s = rng.uniform(0.02 * n, 0.10 * n, 3)
+        vol += rng.uniform(0.2, 1.0) * rng.choice([-1, 1]) * np.exp(
+            -(((x - c[0]) / s[0]) ** 2 + ((y - c[1]) / s[1]) ** 2
+              + ((z - c[2]) / s[2]) ** 2))
+    return vol.astype(np.float32)
+
+
+def bench_tpu(vol: np.ndarray, repeats: int):
+    import jax
+    import sift3d_tpu as s3d
+
+    det = s3d.SIFT3D()
+
+    def run():
+        kp = det.detect_keypoints(vol)
+        desc = det.extract_descriptors(kp)
+        return kp, desc
+
+    # Warmup (compiles)
+    kp, desc = run()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        kp, desc = run()
+        times.append((time.perf_counter() - t0) * 1e3)
+    return min(times), len(kp), len(desc)
+
+
+def bench_oracle(vol: np.ndarray):
+    """Wall time of the C reference on the same workload (detect + extract
+    on all keypoints), or None if unavailable."""
+    sys.path.insert(0, str(REPO / "tests"))
+    try:
+        from oracle import build_oracle, run_oracle
+    except ImportError:
+        return None
+    if build_oracle() is None:
+        return None
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        run_oracle(vol, Path(td) / "bench")
+        return (time.perf_counter() - t0) * 1e3
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--skip-oracle", action="store_true")
+    args = ap.parse_args(argv)
+
+    vol = make_bench_volume(args.size)
+
+    ms, n_kp, n_desc = bench_tpu(vol, args.repeats)
+    print(f"# tpu: {ms:.2f} ms  keypoints={n_kp} descriptors={n_desc}",
+          file=sys.stderr)
+
+    ref_ms = None
+    if not args.skip_oracle:
+        try:
+            ref_ms = bench_oracle(vol)
+        except Exception as e:  # oracle failures must not sink the bench
+            print(f"# oracle bench failed: {e}", file=sys.stderr)
+    if ref_ms is not None:
+        print(f"# C reference: {ref_ms:.2f} ms", file=sys.stderr)
+        vs = ref_ms / ms
+    else:
+        vs = 50.0 / ms  # north-star target as denominator
+
+    print(json.dumps({
+        "metric": f"{args.size}^3 keypoints+descriptors latency",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,229 @@
+"""Icosahedral gradient-orientation-histogram descriptors.
+
+Reference semantics (extract_descrip and helpers,
+/root/reference/sift3d/sift.c:1295-1536): for each keypoint, on its Gaussian
+pyramid level, iterate a sphere of radius 2 * (7.0711 * sd) in real-world
+units; rotate each voxel offset into the keypoint frame by R^T; compute 4x4x4
+spatial bins over the cube inscribed in the sphere and reject voxels outside
+it (sift.c:1483-1492); Gaussian-weight the gradient, rotate it by R^T, and
+accumulate magnitude into a [64 x 12] histogram by trilinear spatial
+interpolation (8 cells) x barycentric interpolation over the 3 vertices of
+the icosahedron face pierced by the gradient (sift.c:1340-1397). Then
+L2-normalize, truncate at 0.2*128/768, renormalize (sift.c:1508-1526).
+Descriptor coordinates are scaled to base-octave voxels (sift.c:1528-1533).
+
+TPU formulation: the per-voxel scatter factorizes into dense contractions.
+Per voxel the contribution is an outer product
+    (2-sparse over 4 x-bins) x (2-sparse over 4 y-bins) x
+    (2-sparse over 4 z-bins) x (3-sparse over 12 vertex bins, scaled by
+     magnitude and mask),
+so a chunk of N voxels accumulates into the histogram with three small
+matmuls: face selection for all 20 faces at once via one [N,3]x[3,60] matmul
+(geometry.MT_MATRIX), the vertex weights via [N,60]x[60,12] (E_BARY_2D), and
+the final reduction via [4,N]x[N,192]. Everything runs on the MXU; there is
+no scatter anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry
+from .params import DetectorParams, NHIST_PER_DIM, ICOS_NVERT
+from .windows import chunked_vmap, gather_window, window_extent
+
+_SQRT2 = math.sqrt(2.0)
+
+
+class DescriptorResult(NamedTuple):
+    desc: jnp.ndarray    # f32[K, 768]
+    xyz: jnp.ndarray     # f32[K, 3] base-octave coordinates
+    sd: jnp.ndarray      # f32[K]
+
+
+def _level_radius(sd: float, params: DetectorParams) -> float:
+    sigma = np.float32(np.float32(sd) * np.float32(params.desc_sig_fctr))
+    return float(np.float32(params.desc_rad_fctr) * sigma)
+
+
+def _extract_one(level, coord, R, sd: float,
+                 units: tuple[float, float, float], extents, chunk_vox: int,
+                 params: DetectorParams):
+    """Descriptor histogram [64, 12] for one keypoint."""
+    prec = jax.lax.Precision.HIGHEST
+    nb = NHIST_PER_DIM
+
+    # Window parameters, float32 exactly as the C code (sift.c:1452-1458).
+    sigma = np.float32(np.float32(sd) * np.float32(params.desc_sig_fctr))
+    win_radius = np.float32(np.float32(params.desc_rad_fctr) * sigma)
+    desc_half_width = np.float32(win_radius / _SQRT2)
+    desc_width = np.float32(2.0) * desc_half_width
+    desc_hist_width = np.float32(desc_width / np.float32(nb))
+    desc_bin_fctr = np.float32(1.0) / desc_hist_width
+
+    win, start = gather_window(level, coord, extents)
+
+    ux, uy, uz = (np.float32(u) for u in units)
+    inv_u = tuple(np.float32(1.0) / u for u in (ux, uy, uz))
+
+    # Gradients over the gather interior (IM_GET_GRAD_ISO, sift.c:140-145).
+    gx = 0.5 * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) * inv_u[0]
+    gy = 0.5 * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) * inv_u[1]
+    gz = 0.5 * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) * inv_u[2]
+
+    ishape = tuple(g - 2 for g in extents)
+    M = ishape[0] * ishape[1] * ishape[2]
+    C = -(-M // chunk_vox)  # chunks
+    Mp = C * chunk_vox
+
+    def flat(a):
+        return jnp.pad(a.reshape(-1), (0, Mp - M)).reshape(C, chunk_vox)
+
+    gxf, gyf, gzf = flat(gx), flat(gy), flat(gz)
+
+    # Absolute voxel coordinates of the interior grid (static iotas) + pad.
+    ix = jax.lax.broadcasted_iota(jnp.int32, ishape, 0) + 1 + start[0]
+    iy = jax.lax.broadcasted_iota(jnp.int32, ishape, 1) + 1 + start[1]
+    iz = jax.lax.broadcasted_iota(jnp.int32, ishape, 2) + 1 + start[2]
+    ixf, iyf, izf = flat(ix), flat(iy), flat(iz)
+
+    cx = coord[0].astype(jnp.float32)
+    cy = coord[1].astype(jnp.float32)
+    cz = coord[2].astype(jnp.float32)
+    n = level.shape
+
+    # Reference loop bounds (IM_LOOP_SPHERE_START, sift.c:91-99).
+    bounds = []
+    for a, (c, u) in enumerate(zip((cx, cy, cz), (ux, uy, uz))):
+        lo = jnp.maximum(jnp.floor(c - win_radius / u), 1.0).astype(jnp.int32)
+        hi = jnp.minimum(jnp.ceil(c + win_radius / u),
+                         jnp.float32(n[a] - 2)).astype(jnp.int32)
+        bounds.append((lo, hi))
+
+    mt = jnp.asarray(geometry.MT_MATRIX)        # [3, 60]
+    e2d = jnp.asarray(geometry.E_BARY_2D)       # [60, 12]
+    kconst = jnp.asarray(geometry.K_CONST)      # [20]
+    eps = jnp.float32(params.bary_eps)
+    iota20 = jnp.arange(20, dtype=jnp.int32)
+
+    def chunk_hist(c):
+        X, Y, Z = ixf[c], iyf[c], izf[c]
+        g = jnp.stack([gxf[c], gyf[c], gzf[c]], axis=-1)   # [N, 3]
+
+        mask = (jnp.arange(chunk_vox) + c * chunk_vox) < M
+        for (lo, hi), I in zip(bounds, (X, Y, Z)):
+            mask &= (I >= lo) & (I <= hi)
+
+        dx = (X.astype(jnp.float32) - cx) * ux
+        dy = (Y.astype(jnp.float32) - cy) * uy
+        dz = (Z.astype(jnp.float32) - cz) * uz
+        sq = dx * dx + dy * dy + dz * dz
+        mask &= sq <= win_radius * win_radius
+
+        vim = jnp.stack([dx, dy, dz], axis=-1)             # [N, 3]
+        # vkp = R^T vim  (transpose_Mat_rm + MUL_MAT_RM_CVEC, sift.c:1480)
+        vkp = jnp.einsum("ni,ij->nj", vim, R, precision=prec)
+        vbins = (vkp + desc_half_width) * desc_bin_fctr
+        mask &= jnp.all((vbins >= 0.0) & (vbins < float(nb)), axis=-1)
+
+        w = jnp.exp(-0.5 * sq / (sigma * sigma))
+        grot = jnp.einsum("ni,ij->nj", w[:, None] * g, R, precision=prec)
+
+        # Face selection: all 20 faces at once (see geometry module).
+        F = jnp.einsum("ni,if->nf", grot, mt, precision=prec)  # [N, 60]
+        dets, ynum, znum = F[:, :20], F[:, 20:40], F[:, 40:]
+        ys = ynum / dets
+        zs = znum / dets
+        xs = 1.0 - ys - zs
+        ks = kconst / dets
+        gsq = jnp.sum(grot * grot, axis=-1)
+        validf = ((jnp.abs(dets) >= eps) & (xs >= -eps) & (ys >= -eps)
+                  & (zs >= -eps) & (ks >= 0.0))
+        first = jnp.min(jnp.where(validf, iota20, 20), axis=-1)   # [N]
+        anyf = (first < 20) & (gsq >= eps) & mask
+        sel = (iota20[None, :] == first[:, None]) & validf        # [N, 20]
+
+        bary = jnp.stack([
+            jnp.sum(jnp.where(sel, xs, 0.0), axis=-1),
+            jnp.sum(jnp.where(sel, ys, 0.0), axis=-1),
+            jnp.sum(jnp.where(sel, zs, 0.0), axis=-1)], axis=-1)  # [N, 3]
+        mag = jnp.where(anyf, jnp.sqrt(gsq), 0.0)
+
+        # Vertex weights: [N,20] x [N,3] outer -> [N,60] @ [60,12].
+        w60 = (sel.astype(jnp.float32)[:, :, None]
+               * bary[:, None, :]).reshape(-1, 60)
+        B = jnp.einsum("nf,fv->nv", w60, e2d, precision=prec)     # [N, 12]
+        B = B * mag[:, None]
+
+        # Trilinear spatial weights, 2-sparse over 4 bins per axis
+        # (SIFT3D_desc_acc_interp, sift.c:1340-1363).
+        def sparse4(vb):
+            base = jnp.floor(vb)
+            fr = vb - base
+            cells = jnp.arange(nb, dtype=jnp.float32)[None, :]
+            return (jnp.where(cells == base[:, None], 1.0 - fr[:, None], 0.0)
+                    + jnp.where(cells == base[:, None] + 1.0, fr[:, None],
+                                0.0))
+        Sx = sparse4(vbins[:, 0])
+        Sy = sparse4(vbins[:, 1])
+        Sz = sparse4(vbins[:, 2])
+
+        P = (Sx[:, :, None] * B[:, None, :]).reshape(-1, nb * ICOS_NVERT)
+        Q = (Sy[:, :, None] * P[:, None, :]).reshape(
+            -1, nb * nb * ICOS_NVERT)
+        # hist[cz, cy, cx, v] += sum_n Sz[n, cz] * Q[n, cy, cx, v]
+        return jnp.einsum("nc,nq->cq", Sz, Q, precision=prec)
+
+    def body(carry, c):
+        return carry + chunk_hist(c), None
+
+    hist0 = jnp.zeros((nb, nb * nb * ICOS_NVERT), jnp.float32)
+    hist, _ = jax.lax.scan(body, hist0, jnp.arange(C))
+    # [cz, cy, cx, v] -> flat hist index x + 4y + 16z, vertex minor
+    # (DESC_MAT_GET_COL, sift.c:136-137; strides at sift.c:1314-1315).
+    return hist.reshape(nb, nb, nb, ICOS_NVERT).reshape(-1, ICOS_NVERT)
+
+
+def _normalize(hist: jnp.ndarray, params: DetectorParams) -> jnp.ndarray:
+    """L2-normalize, truncate, renormalize (sift.c:1402-1429, 1508-1526)."""
+    def norm1(h):
+        n = jnp.sqrt(jnp.sum(h * h)) + jnp.float32(2.220446049250313e-16)
+        return h * (1.0 / n)
+    h = norm1(hist)
+    h = jnp.minimum(h, jnp.float32(params.trunc_thresh))
+    return norm1(h)
+
+
+def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
+                        R: jnp.ndarray, valid: jnp.ndarray, sd: float,
+                        octave: int, units: tuple[float, float, float],
+                        params: DetectorParams, kp_chunk: int = 8,
+                        vox_chunk: int = 2048) -> DescriptorResult:
+    """Descriptors for all keypoints of one pyramid level.
+
+    coords i32[K,3], R f32[K,3,3]; sd is the level's absolute scale (static);
+    units are the level's voxel units. Invalid slots produce zeros.
+    """
+    rad = _level_radius(sd, params)
+    extents = tuple(window_extent(rad / units[a], level.shape[a])
+                    for a in range(3))
+
+    def one(args):
+        coord, Rk = args
+        return _extract_one(level, coord, Rk, sd, units, extents,
+                            vox_chunk, params)
+
+    hists = chunked_vmap(one, (coords, R), kp_chunk)   # [K, 64, 12]
+    desc = jax.vmap(lambda h: _normalize(h, params))(hists)
+    desc = jnp.where(valid[:, None, None], desc, 0.0)
+    desc = desc.reshape(coords.shape[0], -1)
+
+    coord_factor = jnp.float32(2.0 ** octave)
+    xyz = coords.astype(jnp.float32) * coord_factor
+    sd_arr = jnp.full((coords.shape[0],), jnp.float32(sd))
+    return DescriptorResult(desc, xyz, sd_arr)

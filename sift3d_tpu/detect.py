@@ -83,22 +83,25 @@ def detect_extrema_level(prev: jnp.ndarray, cur: jnp.ndarray,
 
     mask = ((pcur > peak) | (pcur < -peak)) & (is_max | is_min)
 
-    # Compact to a fixed-capacity store. Scatter destinations beyond the
-    # capacity are dropped; `count` reports the true number for overflow
-    # detection.
-    flat_mask = mask.ravel()
+    # Compact to a fixed-capacity store in the reference's candidate order
+    # (z outer, y middle, x fastest — SIFT3D_IM_LOOP_LIMITED_START,
+    # immacros.h:78-82); downstream stages depend on this order to replicate
+    # the reference's post-compaction strength assignment. Scatter
+    # destinations beyond the capacity are dropped; `count` reports the true
+    # number for overflow detection.
+    flat_mask = mask.transpose(2, 1, 0).ravel()
     count = jnp.sum(flat_mask, dtype=jnp.int32)
     dest = jnp.where(flat_mask, jnp.cumsum(flat_mask) - 1, capacity)
 
     mx, my, mz = pcur.shape
-    ix = jax.lax.broadcasted_iota(jnp.int32, (mx, my, mz), 0) + 1
-    iy = jax.lax.broadcasted_iota(jnp.int32, (mx, my, mz), 1) + 1
-    iz = jax.lax.broadcasted_iota(jnp.int32, (mx, my, mz), 2) + 1
+    ix = jax.lax.broadcasted_iota(jnp.int32, (mz, my, mx), 2) + 1
+    iy = jax.lax.broadcasted_iota(jnp.int32, (mz, my, mx), 1) + 1
+    iz = jax.lax.broadcasted_iota(jnp.int32, (mz, my, mx), 0) + 1
     coords_all = jnp.stack([ix.ravel(), iy.ravel(), iz.ravel()], axis=-1)
 
     coords = jnp.zeros((capacity, 3), jnp.int32).at[dest].set(
         coords_all, mode="drop")
     strength = jnp.zeros((capacity,), jnp.float32).at[dest].set(
-        jnp.abs(pcur).ravel(), mode="drop")
+        jnp.abs(pcur).transpose(2, 1, 0).ravel(), mode="drop")
     valid = (jnp.arange(capacity) < jnp.minimum(count, capacity))
     return LevelCandidates(coords, strength, valid, count)

@@ -1,0 +1,147 @@
+"""Orientation assignment and corner rejection.
+
+Reference semantics (assign_eig_ori + assign_orientations,
+/root/reference/sift3d/sift.c:926-1167): for each keypoint, on its Gaussian
+pyramid level, form a Gaussian-weighted structure tensor and mean gradient
+over a sphere of radius 3*sigma (sigma = 1.5 * keypoint scale, sift.c:41-42);
+reject if the mean gradient is negligible (sift.c:996-999); eigendecompose;
+reject if adjacent eigenvalue magnitude ratios exceed 0.90 (sift.c:1011-1015);
+build R from the two largest eigenvectors, sign-fixed so the directional
+derivative along each is positive, plus their cross product (sift.c:1017-1059);
+reject if the corner score min |cos(angle(eigvec, mean grad))| is below
+corner_thresh (sift.c:1091-1102). Gradients are central differences scaled to
+real-world units (IM_GET_GRAD_ISO, sift.c:140-145).
+
+TPU formulation: windows are fixed-size gathers (windows.py); the weighted
+covariance reduces each window to 9 numbers; eigendecomposition runs batched
+over all keypoints via jnp.linalg.eigh; every rejection is a mask, not a
+compaction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import DetectorParams
+from .windows import chunked_vmap, gather_window, window_extent
+
+
+class OrientationResult(NamedTuple):
+    R: jnp.ndarray        # f32[K, 3, 3]
+    accepted: jnp.ndarray  # bool[K] (True = keypoint survives)
+
+
+def _window_moments(level, coord, sd: float, units, extents,
+                    params: DetectorParams):
+    """Structure tensor A[3,3] and mean gradient [3] for one keypoint."""
+    sigma = params.ori_sig_fctr * sd
+    rad = sigma * params.ori_rad_fctr
+    win, start = gather_window(level, coord, extents)
+
+    ux, uy, uz = units
+    inv = [np.float32(1.0) / np.float32(u) for u in units]
+    # Interior of the gather (gradient-safe border of 1). Gradients multiply
+    # by the reciprocal units, as IM_GET_GRAD_ISO does (sift.c:140-145).
+    gx = 0.5 * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) * inv[0]
+    gy = 0.5 * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) * inv[1]
+    gz = 0.5 * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) * inv[2]
+
+    # Absolute voxel coordinates of the interior grid.
+    axes = []
+    for a, G in enumerate(extents):
+        axes.append(start[a] + 1 + jax.lax.broadcasted_iota(
+            jnp.int32, (extents[0] - 2, extents[1] - 2, extents[2] - 2), a))
+    X, Y, Z = axes
+
+    # Reference loop bounds (sift.c:91-99), computed in f32 like the C code.
+    cx = coord[0].astype(jnp.float32)
+    cy = coord[1].astype(jnp.float32)
+    cz = coord[2].astype(jnp.float32)
+    radf = jnp.float32(rad)
+    n = level.shape
+    mask = jnp.ones(X.shape, dtype=bool)
+    for a, (c, u, I) in enumerate(
+            zip((cx, cy, cz), (ux, uy, uz), (X, Y, Z))):
+        lo = jnp.maximum(jnp.floor(c - radf / jnp.float32(u)), 1.0)
+        hi = jnp.minimum(jnp.ceil(c + radf / jnp.float32(u)),
+                         jnp.float32(n[a] - 2))
+        mask &= (I >= lo.astype(jnp.int32)) & (I <= hi.astype(jnp.int32))
+
+    dx = (X.astype(jnp.float32) - cx) * jnp.float32(ux)
+    dy = (Y.astype(jnp.float32) - cy) * jnp.float32(uy)
+    dz = (Z.astype(jnp.float32) - cz) * jnp.float32(uz)
+    sq_dist = dx * dx + dy * dy + dz * dz
+    mask &= sq_dist <= jnp.float32(rad * rad)
+
+    weight = jnp.where(
+        mask, jnp.exp(-0.5 * sq_dist / jnp.float32(sigma * sigma)), 0.0)
+
+    g = jnp.stack([gx, gy, gz], axis=-1)          # [gx,gy,gz] per voxel
+    wg = weight[..., None] * g
+    vd_win = jnp.sum(wg.reshape(-1, 3), axis=0)    # mean gradient (f32)
+    # Structure tensor: sum of w * g g^T. (The C code accumulates in f64,
+    # sift.c:978-983; a tree-reduced f32 sum is within parity tolerance.)
+    A = jnp.einsum("vi,vj->ij", wg.reshape(-1, 3), g.reshape(-1, 3),
+                   precision=jax.lax.Precision.HIGHEST)
+    return A, vd_win
+
+
+def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
+                        valid: jnp.ndarray, sd: float,
+                        units: tuple[float, float, float],
+                        params: DetectorParams,
+                        chunk: int = 256) -> OrientationResult:
+    """Batched orientation assignment for all keypoints of one pyramid level.
+
+    coords: i32[K, 3]; sd is the level's absolute scale (static).
+    """
+    rad = params.ori_sig_fctr * sd * params.ori_rad_fctr
+    extents = tuple(window_extent(rad / units[a], level.shape[a])
+                    for a in range(3))
+
+    A, vd_win = chunked_vmap(
+        lambda c: _window_moments(level, c, sd, units, extents, params),
+        coords, chunk)
+
+    # Batched symmetric eigendecomposition, ascending eigenvalues (same
+    # convention as LAPACK dsyevd in eigen_Mat_rm, imutil.c:960-1067).
+    L, Q = jnp.linalg.eigh(A)
+
+    # Weak-gradient rejection (sift.c:996-999).
+    grad_sq = jnp.sum(vd_win * vd_win, axis=-1)
+    reject_grad = grad_sq < jnp.float32(params.ori_grad_thresh)
+
+    # Eigenvalue ratio test (sift.c:1011-1015). C computes fabs(l_i/l_{i+1});
+    # inf compares > thresh (reject), nan compares false (keep) — replicate.
+    ratio01 = jnp.abs(L[:, 0] / L[:, 1])
+    ratio12 = jnp.abs(L[:, 1] / L[:, 2])
+    thr = jnp.float32(params.max_eig_ratio)
+    def _gt(r):
+        return jnp.where(jnp.isnan(r), False, r > thr)
+    reject_ratio = _gt(ratio01) | _gt(ratio12)
+
+    # Sign fixing + corner score (sift.c:1017-1059).
+    v2 = Q[:, :, 2]   # largest eigenvalue's eigenvector
+    v1 = Q[:, :, 1]
+    d2 = jnp.sum(vd_win * v2, axis=-1)
+    d1 = jnp.sum(vd_win * v1, axis=-1)
+    gnorm = jnp.sqrt(grad_sq)
+    cos2 = d2 / (jnp.linalg.norm(v2, axis=-1) * gnorm)
+    cos1 = d1 / (jnp.linalg.norm(v1, axis=-1) * gnorm)
+    corner_score = jnp.minimum(jnp.abs(cos2), jnp.abs(cos1))
+    sgn2 = jnp.where(d2 > 0.0, 1.0, -1.0)[:, None]
+    sgn1 = jnp.where(d1 > 0.0, 1.0, -1.0)[:, None]
+    r0 = v2 * sgn2
+    r1 = v1 * sgn1
+    r2 = jnp.cross(r0, r1)
+    R = jnp.stack([r0, r1, r2], axis=-1)  # columns = r0, r1, r2
+
+    reject_corner = corner_score < jnp.float32(params.corner_thresh)
+
+    accepted = valid & ~reject_grad & ~reject_ratio & ~reject_corner
+    return OrientationResult(R.astype(jnp.float32), accepted)

@@ -1,0 +1,204 @@
+"""End-to-end detector pipeline.
+
+Mirrors the reference's public workflow (sift3d_detect_keypoints,
+/root/reference/sift3d/sift.c:1217-1249; sift3d_extract_descriptors,
+sift.c:1615-1635): a detector object holds the configuration and, after
+detection, the Gaussian pyramid from which descriptors are extracted.
+
+Execution model: detection traces into one jitted XLA computation per
+(input shape, units, params) — scale-to-[-1,1], Gaussian pyramid as banded
+matmuls, DoG, fused extrema stencils, batched orientation assignment. A short
+host step then compacts the fixed-capacity per-level candidate stores into
+the final keypoint list. Descriptor extraction groups keypoints by pyramid
+level on the host (window shapes are static per level), pads each group to a
+small power-of-two bucket, and runs a jitted matmul-based extractor per
+group; compilations are cached per bucket size.
+
+Reference quirk replicated deliberately: the reference's compaction copies
+every keypoint field EXCEPT strength (copy_Keypoint, sift.c:372-384 has no
+strength assignment), so surviving keypoint j inherits the strength of the
+j-th pre-filter *candidate* in scan order. The CLI's top-100 selection sorts
+by these stale values. We reproduce this by default for parity;
+set stale_strength_compat=False in SIFT3D() for true strengths.
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .descriptor import extract_descriptors as _extract_level
+from .detect import LevelCandidates, default_capacity, detect_extrema_level
+from .keypoints import Descriptors, Keypoints
+from .orientation import assign_orientations
+from .params import DESC_NUMEL, DetectorParams
+from .pyramid import PyramidPlan, build_dog, build_gpyr, make_plan, \
+    scale_to_unit
+from .volume import Volume, as_volume
+
+
+def _level_keys(plan: PyramidPlan):
+    """(octave, stacked dog index) pairs in the reference's scan order."""
+    return [(o, i) for o in range(plan.num_octaves)
+            for i in range(1, plan.params.num_dog_levels - 1)]
+
+
+@functools.lru_cache(maxsize=32)
+def _detect_fn(plan: PyramidPlan):
+    params = plan.params
+    keys = _level_keys(plan)
+    caps = {}
+    for o, i in keys:
+        nvox = int(np.prod(plan.octave_dims[o]))
+        caps[(o, i)] = (params.kp_per_level if params.kp_per_level
+                        else default_capacity(nvox))
+
+    @jax.jit
+    def run(data):
+        x = scale_to_unit(data)
+        gpyr = build_gpyr(x, plan)
+        dog = build_dog(gpyr)
+        out = []
+        for o, i in keys:
+            cand = detect_extrema_level(
+                dog[o][i - 1], dog[o][i], dog[o][i + 1], params,
+                caps[(o, i)])
+            ori = assign_orientations(
+                gpyr[o][i], cand.coords, cand.valid, plan.scales[o][i],
+                plan.level_units(o), params)
+            out.append((cand, ori))
+        return gpyr, out
+
+    return run, keys, caps
+
+
+@functools.lru_cache(maxsize=256)
+def _extract_fn(plan: PyramidPlan, octave: int, dog_idx: int, bucket: int):
+    params = plan.params
+    sd = plan.scales[octave][dog_idx]
+    units = plan.level_units(octave)
+
+    @jax.jit
+    def run(level, coords, R, valid):
+        return _extract_level(level, coords, R, valid, sd, octave, units,
+                              params)
+
+    return run
+
+
+class SIFT3D:
+    """SIFT3D detector + descriptor extractor (TPU-native).
+
+    Equivalent of the reference's sift3d_detector
+    (imtypes_private.h:208-223): holds parameters and, after
+    detect_keypoints(), the Gaussian scale-space pyramid used by
+    extract_descriptors().
+    """
+
+    def __init__(self, params: DetectorParams = DetectorParams(),
+                 stale_strength_compat: bool = True):
+        self.params = params
+        self.stale_strength_compat = stale_strength_compat
+        self._plan: PyramidPlan | None = None
+        self._gpyr = None
+        self._input_shape = None
+
+    # -- detection ----------------------------------------------------------
+
+    def detect_keypoints(self, vol) -> Keypoints:
+        vol = as_volume(vol)
+        plan = make_plan(vol.shape, vol.units, self.params)
+        run, keys, caps = _detect_fn(plan)
+        gpyr, per_level = run(vol.data)
+        self._plan, self._gpyr = plan, gpyr
+        self._input_shape = vol.shape
+
+        # Host compaction in the reference's candidate order.
+        coords_l, strength_l, acc_l, oct_l, lvl_l, sd_l, R_l = \
+            [], [], [], [], [], [], []
+        for (o, i), (cand, ori) in zip(keys, per_level):
+            c = int(cand.count)
+            cap = caps[(o, i)]
+            if c > cap:
+                warnings.warn(
+                    f"keypoint capacity overflow at octave {o} level {i - 1}:"
+                    f" {c} candidates > capacity {cap}; increase "
+                    f"DetectorParams.kp_per_level for exact results")
+                c = cap
+            coords_l.append(np.asarray(cand.coords)[:c])
+            strength_l.append(np.asarray(cand.strength)[:c])
+            acc_l.append(np.asarray(ori.accepted)[:c])
+            R_l.append(np.asarray(ori.R)[:c])
+            oct_l.append(np.full(c, o, np.int32))
+            lvl_l.append(np.full(c, i - 1, np.int32))  # raw level s
+            sd_l.append(np.full(c, plan.scales[o][i], np.float64))
+
+        coords = np.concatenate(coords_l).astype(np.float64)
+        strength = np.concatenate(strength_l).astype(np.float64)
+        accepted = np.concatenate(acc_l)
+        R = np.concatenate(R_l)
+        octave = np.concatenate(oct_l)
+        level = np.concatenate(lvl_l)
+        sd = np.concatenate(sd_l)
+
+        idx = np.nonzero(accepted)[0]
+        n = len(idx)
+        if self.stale_strength_compat:
+            out_strength = strength[:n]  # the reference's stale values
+        else:
+            out_strength = strength[idx]
+        return Keypoints(coords=coords[idx], octave=octave[idx],
+                         level=level[idx], sd=sd[idx],
+                         strength=out_strength, R=R[idx])
+
+    # -- descriptors --------------------------------------------------------
+
+    def _verify_keys(self, kp: Keypoints) -> None:
+        """verify_keys (sift.c:1171-1212)."""
+        if len(kp) < 1:
+            raise ValueError("no keypoints")
+        if self._input_shape is None:
+            raise ValueError(
+                "no Gaussian pyramid available; call detect_keypoints first")
+        factor = 2.0 ** kp.octave
+        dims = np.asarray(self._input_shape, np.float64)
+        if (np.any(kp.coords < 0)
+                or np.any(kp.coords * factor[:, None] >= dims)):
+            raise ValueError("keypoint coordinates exceed image dimensions")
+        if np.any(kp.sd <= 0):
+            raise ValueError("keypoint has invalid scale")
+
+    def extract_descriptors(self, kp: Keypoints) -> Descriptors:
+        self._verify_keys(kp)
+        plan = self._plan
+        n = len(kp)
+        xyz = np.zeros((n, 3), np.float32)
+        sd_out = np.zeros((n,), np.float32)
+        data = np.zeros((n, DESC_NUMEL), np.float32)
+
+        groups: dict[tuple[int, int], list[int]] = {}
+        for j in range(n):
+            groups.setdefault(
+                (int(kp.octave[j]), int(kp.level[j]) + 1), []).append(j)
+
+        for (o, i), idxs in groups.items():
+            cnt = len(idxs)
+            bucket = max(8, 1 << (cnt - 1).bit_length())
+            coords = np.zeros((bucket, 3), np.int32)
+            R = np.tile(np.eye(3, dtype=np.float32), (bucket, 1, 1))
+            valid = np.zeros((bucket,), bool)
+            coords[:cnt] = kp.coords[idxs]
+            R[:cnt] = kp.R[idxs]
+            valid[:cnt] = True
+            run = _extract_fn(plan, o, i, bucket)
+            res = run(self._gpyr[o][i], jnp.asarray(coords), jnp.asarray(R),
+                      jnp.asarray(valid))
+            data[idxs] = np.asarray(res.desc)[:cnt]
+            xyz[idxs] = np.asarray(res.xyz)[:cnt]
+            sd_out[idxs] = np.asarray(res.sd)[:cnt]
+
+        return Descriptors(xyz=xyz, sd=sd_out, data=data)

@@ -1,0 +1,226 @@
+"""Descriptor matching + RANSAC affine registration.
+
+The reference fork removed matching/RANSAC for performance
+(/root/reference/CHANGES.md:101-103); the capability is part of the SIFT3D
+algorithm (Rister et al., IEEE TIP 2017, see /root/reference/README-OLD.md)
+and is rebuilt here TPU-first:
+
+ - Matching: the [N1, N2] squared-distance matrix is one MXU matmul
+   (||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b); nearest/second-nearest per row by
+   a masked second pass; Lowe ratio test d1/d2 < nn_thresh.
+ - RANSAC: all hypotheses run in parallel (vmap over minimal 4-point samples,
+   each solved as a 4x4 linear system), inliers counted with one batched
+   matmul; the winner is refit on its inliers via masked normal equations.
+   No sequential hypothesis loop — the entire search is one XLA computation.
+ - Warping: inverse-mapped trilinear resampling on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .keypoints import Descriptors
+from .volume import Volume, as_volume
+
+
+# ---------------------------------------------------------------------------
+# Matching
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nn_thresh",))
+def _match_jit(d1, d2, valid1, valid2, nn_thresh: float):
+    # Squared Euclidean distances via one matmul.
+    sq1 = jnp.sum(d1 * d1, axis=1, keepdims=True)
+    sq2 = jnp.sum(d2 * d2, axis=1, keepdims=True)
+    D = sq1 + sq2.T - 2.0 * jnp.dot(
+        d1, d2.T, precision=jax.lax.Precision.HIGHEST)
+    D = jnp.maximum(D, 0.0)
+    big = jnp.float32(np.finfo(np.float32).max)
+    D = jnp.where(valid2[None, :], D, big)
+
+    best_idx = jnp.argmin(D, axis=1)
+    best = jnp.min(D, axis=1)
+    D2 = D.at[jnp.arange(D.shape[0]), best_idx].set(big)
+    second = jnp.min(D2, axis=1)
+
+    # Lowe ratio test on Euclidean distances.
+    ratio = jnp.sqrt(best) / jnp.maximum(jnp.sqrt(second), 1e-30)
+    ok = valid1 & (ratio < jnp.float32(nn_thresh)) & (second < big)
+    return best_idx, ok
+
+
+def match_descriptors(desc1: Descriptors, desc2: Descriptors,
+                      nn_thresh: float = 0.8):
+    """Match desc1 against desc2. Returns (idx1, idx2) index arrays of the
+    accepted pairs (numpy)."""
+    n1, n2 = len(desc1), len(desc2)
+    if n1 == 0 or n2 == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    best_idx, ok = _match_jit(
+        jnp.asarray(desc1.data), jnp.asarray(desc2.data),
+        jnp.ones(n1, bool), jnp.ones(n2, bool), float(nn_thresh))
+    ok = np.asarray(ok)
+    idx1 = np.nonzero(ok)[0]
+    idx2 = np.asarray(best_idx)[idx1]
+    return idx1, idx2
+
+
+# ---------------------------------------------------------------------------
+# RANSAC affine
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_iter", "err_thresh"))
+def _ransac_jit(src, dst, valid, key, num_iter: int, err_thresh: float):
+    """src, dst: f32[M, 3]; valid: bool[M]. Finds affine A (3x4) minimizing
+    ||A [src;1] - dst|| over the best consensus set."""
+    M = src.shape[0]
+    ones = jnp.ones((M, 1), jnp.float32)
+    X = jnp.concatenate([src, ones], axis=1)          # [M, 4]
+
+    # Random minimal samples: 4 distinct-ish indices per hypothesis.
+    # (Degenerate samples produce singular systems -> nan -> zero inliers.)
+    idx = jax.random.randint(key, (num_iter, 4), 0, M)
+
+    def fit4(sample_idx):
+        Xs = X[sample_idx]                             # [4, 4]
+        Ys = dst[sample_idx]                           # [4, 3]
+        A = jnp.linalg.solve(Xs, Ys)                   # [4, 3]
+        return A
+
+    As = jax.vmap(fit4)(idx)                           # [num_iter, 4, 3]
+
+    # Count inliers for all hypotheses with one batched matmul.
+    pred = jnp.einsum("mi,nij->nmj", X, As,
+                      precision=jax.lax.Precision.HIGHEST)
+    err2 = jnp.sum((pred - dst[None]) ** 2, axis=-1)   # [num_iter, M]
+    thr2 = jnp.float32(err_thresh * err_thresh)
+    inl = (err2 < thr2) & valid[None, :]
+    inl = jnp.where(jnp.any(jnp.isnan(As), axis=(1, 2))[:, None],
+                    False, inl)
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    best_inl = inl[best]
+
+    # Refit on the winning consensus set via masked normal equations.
+    w = best_inl.astype(jnp.float32)[:, None]
+    Xw = X * w
+    AtA = Xw.T @ X + 1e-8 * jnp.eye(4, dtype=jnp.float32)
+    AtY = Xw.T @ dst
+    A_refit = jnp.linalg.solve(AtA, AtY)               # [4, 3]
+
+    # Final inlier count under the refit model.
+    pred2 = X @ A_refit
+    err2f = jnp.sum((pred2 - dst) ** 2, axis=-1)
+    final_inl = (err2f < thr2) & valid
+    return A_refit.T, jnp.sum(final_inl), final_inl   # A: [3, 4]
+
+
+@dataclasses.dataclass
+class RegistrationResult:
+    affine: np.ndarray       # f32[3, 4], maps moving voxel coords -> fixed
+    num_matches: int
+    num_inliers: int
+    matches_fixed: np.ndarray   # f32[M, 3] matched fixed-volume coords
+    matches_moving: np.ndarray  # f32[M, 3]
+    inlier_mask: np.ndarray     # bool[M]
+
+
+def ransac_affine(src_pts: np.ndarray, dst_pts: np.ndarray,
+                  err_thresh: float = 5.0, num_iter: int = 500,
+                  seed: int = 0):
+    """Robust affine fit dst ~ A [src; 1]. Returns (A [3,4], inlier mask)."""
+    src_pts = np.asarray(src_pts, np.float32)
+    dst_pts = np.asarray(dst_pts, np.float32)
+    M = len(src_pts)
+    if M < 4:
+        raise ValueError(f"RANSAC needs at least 4 correspondences, got {M}")
+    A, n_inl, mask = _ransac_jit(
+        jnp.asarray(src_pts), jnp.asarray(dst_pts), jnp.ones(M, bool),
+        jax.random.PRNGKey(seed), int(num_iter), float(err_thresh))
+    return np.asarray(A), np.asarray(mask)
+
+
+def register(fixed, moving, params=None, nn_thresh: float = 0.8,
+             err_thresh: float = 5.0, num_iter: int = 500,
+             kp_limit: int = 0, seed: int = 0) -> RegistrationResult:
+    """Full SIFT3D registration: detect + describe both volumes, match
+    descriptors, RANSAC an affine (moving -> fixed)."""
+    from .pipeline import SIFT3D
+
+    fixed = as_volume(fixed)
+    moving = as_volume(moving)
+    det_f = SIFT3D(params) if params else SIFT3D()
+    det_m = SIFT3D(params) if params else SIFT3D()
+
+    kp_f = det_f.detect_keypoints(fixed)
+    kp_m = det_m.detect_keypoints(moving)
+    if kp_limit:
+        kp_f = kp_f.sort_by_strength(kp_limit)
+        kp_m = kp_m.sort_by_strength(kp_limit)
+    ds_f = det_f.extract_descriptors(kp_f)
+    ds_m = det_m.extract_descriptors(kp_m)
+
+    idx_m, idx_f = match_descriptors(ds_m, ds_f, nn_thresh)
+    pts_m = ds_m.xyz[idx_m]
+    pts_f = ds_f.xyz[idx_f]
+    A, inl = ransac_affine(pts_m, pts_f, err_thresh, num_iter, seed)
+    return RegistrationResult(
+        affine=A, num_matches=len(idx_m), num_inliers=int(inl.sum()),
+        matches_fixed=pts_f, matches_moving=pts_m, inlier_mask=inl)
+
+
+# ---------------------------------------------------------------------------
+# Warping
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("out_shape",))
+def _warp_jit(vol, A_inv, out_shape):
+    """Inverse-map trilinear resampling: out[x] = vol(A_inv [x; 1])."""
+    grids = [jax.lax.broadcasted_iota(jnp.float32, out_shape, a)
+             for a in range(3)]
+    pts = jnp.stack(
+        [g.ravel() for g in grids] + [jnp.ones(
+            out_shape[0] * out_shape[1] * out_shape[2], jnp.float32)],
+        axis=1)                                       # [V, 4]
+    src = pts @ A_inv.T                               # [V, 3]
+
+    n = jnp.asarray(vol.shape, jnp.float32)
+    lo = jnp.floor(src)
+    fr = src - lo
+    lo = lo.astype(jnp.int32)
+
+    def take(ox, oy, oz):
+        ix = jnp.clip(lo[:, 0] + ox, 0, vol.shape[0] - 1)
+        iy = jnp.clip(lo[:, 1] + oy, 0, vol.shape[1] - 1)
+        iz = jnp.clip(lo[:, 2] + oz, 0, vol.shape[2] - 1)
+        return vol[ix, iy, iz]
+
+    out = jnp.zeros(src.shape[0], jnp.float32)
+    for ox in (0, 1):
+        wx = (1 - fr[:, 0]) if ox == 0 else fr[:, 0]
+        for oy in (0, 1):
+            wy = (1 - fr[:, 1]) if oy == 0 else fr[:, 1]
+            for oz in (0, 1):
+                wz = (1 - fr[:, 2]) if oz == 0 else fr[:, 2]
+                out = out + wx * wy * wz * take(ox, oy, oz)
+
+    inside = jnp.all((src >= 0) & (src <= n - 1), axis=1)
+    return jnp.where(inside, out, 0.0).reshape(out_shape)
+
+
+def warp_volume(moving, affine: np.ndarray, out_shape) -> Volume:
+    """Resample `moving` into the fixed grid given affine (moving->fixed)."""
+    moving = as_volume(moving)
+    A = np.eye(4, dtype=np.float64)
+    A[:3, :] = np.asarray(affine, np.float64)
+    A_inv = np.linalg.inv(A)[:3, :].astype(np.float32)
+    out = _warp_jit(moving.data, jnp.asarray(A_inv), tuple(out_shape))
+    return Volume(out, moving.units)

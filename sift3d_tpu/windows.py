@@ -1,0 +1,57 @@
+"""Fixed-size window gathering around keypoints.
+
+The reference iterates spherical regions in real-world units around each
+keypoint (IM_LOOP_SPHERE_START, /root/reference/sift3d/sift.c:86-109); the
+per-axis voxel loop bounds are [max(floor(c - rad/u), 1), min(ceil(c + rad/u),
+n - 2)]. On TPU we gather a static-size cube per keypoint (the radius in
+voxels depends only on the level index s and the axis units, both static) and
+reproduce the exact loop bounds and sphere test as masks. Windows are gathered
+with one voxel of slack so central-difference gradients stay inside the
+gather.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def window_extent(radius_vox: float, n: int) -> int:
+    """Gather size along one axis: window diameter + 1-voxel gradient border,
+    clipped to the level size."""
+    import math
+    return min(2 * math.ceil(radius_vox) + 3, n)
+
+
+def gather_window(level: jnp.ndarray, coord: jnp.ndarray,
+                  extents: tuple[int, int, int]):
+    """Gather one [Gx, Gy, Gz] window centered (as much as possible) on
+    coord from level [nx, ny, nz]. Returns (window, start i32[3]).
+
+    The window is positioned so that the reference's loop range (clipped to
+    [1, n-2]) plus the 1-voxel gradient border always lies inside it; near
+    edges the window shifts instead of shrinking (shapes stay static)."""
+    starts = []
+    for a in range(3):
+        n, G = level.shape[a], extents[a]
+        half = (G - 1) // 2
+        s = jnp.clip(coord[a] - half, 0, n - G)
+        starts.append(s)
+    start = jnp.stack(starts)
+    win = jax.lax.dynamic_slice(level, tuple(starts), extents)
+    return win, start
+
+
+def chunked_vmap(fn, xs, chunk: int):
+    """vmap fn over the leading axis of xs (a pytree), processing `chunk`
+    rows at a time with lax.map to bound memory. Leading dim must be a
+    multiple of `chunk` (callers pad capacities to satisfy this)."""
+    lead = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    if lead <= chunk:
+        return jax.vmap(fn)(xs)
+    assert lead % chunk == 0, (lead, chunk)
+    xs_c = jax.tree_util.tree_map(
+        lambda x: x.reshape((lead // chunk, chunk) + x.shape[1:]), xs)
+    out = jax.lax.map(lambda c: jax.vmap(fn)(c), xs_c)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((lead,) + x.shape[2:]), out)

@@ -67,10 +67,10 @@ class OracleResult:
 
     @property
     def keypoints(self) -> np.ndarray:
-        """[n, 15] float64: strength x y z o s sd R(row-major 9)."""
+        """[n, 16] float64: strength x y z o s sd R(row-major 9)."""
         with open(self.outdir / "keys.bin", "rb") as f:
             n = np.fromfile(f, dtype=np.int64, count=1)[0]
-            return np.fromfile(f, dtype=np.float64).reshape(n, 15)
+            return np.fromfile(f, dtype=np.float64).reshape(n, 16)
 
     @property
     def descriptors(self) -> np.ndarray:

@@ -10,7 +10,7 @@
  *
  * VOL.raw: float32, x-fastest (column-major), nx*ny*nz elements.
  * Writes into OUTDIR:
- *   keys.bin  : int64 n, then n records of double[15]:
+ *   keys.bin  : int64 n, then n records of double[16]:
  *               strength x y z o s sd R00 R01 R02 R10 R11 R12 R20 R21 R22
  *   desc.bin  : int64 n, then n records of float[772]: x y z sd el0..el767
  *   gpyr_o<o>_l<i>.bin / dog_o<o>_l<i>.bin : raw float32 levels (x-fastest),
@@ -109,10 +109,10 @@ int main(int argc, char **argv) {
     /* Dump keypoints (raw, full precision). */
     {
         long long n = (long long)kp->slab.num;
-        double *buf = malloc(n * 15 * sizeof(double));
+        double *buf = malloc(n * 16 * sizeof(double));
         for (long long i = 0; i < n; i++) {
             const sift3d_keypoint *k = kp->buf + i;
-            double *r = buf + i * 15;
+            double *r = buf + i * 16;
             r[0] = k->strength;
             r[1] = k->xd; r[2] = k->yd; r[3] = k->zd;
             r[4] = k->o;  r[5] = k->s;  r[6] = k->sd;
@@ -123,7 +123,7 @@ int main(int argc, char **argv) {
         FILE *f = fopen(path, "wb");
         if (!f) die("cannot open keys.bin");
         fwrite(&n, sizeof(n), 1, f);
-        fwrite(buf, sizeof(double), n * 15, f);
+        fwrite(buf, sizeof(double), n * 16, f);
         fclose(f);
         free(buf);
     }

@@ -1,0 +1,49 @@
+"""CLI tests: kpsift3d flag handling and output files."""
+
+import numpy as np
+import pytest
+
+from conftest import make_phantom
+from sift3d_tpu.cli import main
+from sift3d_tpu.io import write_volume
+
+
+@pytest.fixture(scope="module")
+def image(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "vol.nii.gz"
+    write_volume(p, make_phantom(32))
+    return p
+
+
+def test_requires_output(image, capsys):
+    assert main([str(image)]) == 1
+
+
+def test_missing_image(tmp_path):
+    assert main(["--keys", str(tmp_path / "k.csv"),
+                 str(tmp_path / "missing.nii")]) == 1
+
+
+def test_keys_and_desc(image, tmp_path):
+    kpath = tmp_path / "k.csv"
+    dpath = tmp_path / "d.csv.gz"
+    assert main(["--keys", str(kpath), "--desc", str(dpath),
+                 str(image)]) == 0
+    keys = np.loadtxt(kpath, delimiter=",")
+    keys = np.atleast_2d(keys)
+    assert keys.shape[1] == 15   # strength x y z o sd R9
+    assert len(keys) <= 100      # reference CLI's top-100 cap
+    # strengths descending
+    assert np.all(np.diff(keys[:, 0]) <= 1e-12)
+    desc = np.loadtxt(dpath, delimiter=",")
+    desc = np.atleast_2d(desc)
+    assert desc.shape == (len(keys), 771)
+    # descriptors are L2-normalized (or all-zero)
+    norms = np.linalg.norm(desc[:, 3:], axis=1)
+    assert np.all((np.abs(norms - 1.0) < 1e-3) | (norms == 0.0))
+
+
+def test_param_flags(image, tmp_path):
+    kpath = tmp_path / "k2.csv"
+    assert main(["--keys", str(kpath), "--peak-thresh", "0.2",
+                 "--corner-thresh", "0.5", str(image)]) == 0

@@ -1,0 +1,104 @@
+"""Extrema detection unit tests (no oracle)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sift3d_tpu.detect import default_capacity, detect_extrema_level
+from sift3d_tpu.params import DetectorParams
+
+
+def _levels_with_peak(n=16, pos=(8, 8, 8), val=1.0):
+    prev = np.zeros((n, n, n), np.float32)
+    cur = np.zeros((n, n, n), np.float32)
+    nxt = np.zeros((n, n, n), np.float32)
+    cur[pos] = val
+    return jnp.asarray(prev), jnp.asarray(cur), jnp.asarray(nxt)
+
+
+def test_single_maximum():
+    p = DetectorParams()
+    prev, cur, nxt = _levels_with_peak()
+    out = detect_extrema_level(prev, cur, nxt, p, 16)
+    assert int(out.count) == 1
+    assert tuple(np.asarray(out.coords)[0]) == (8, 8, 8)
+    assert np.asarray(out.strength)[0] == pytest.approx(1.0)
+
+
+def test_single_minimum():
+    p = DetectorParams()
+    prev, cur, nxt = _levels_with_peak(val=-1.0)
+    # neighbors must be strictly greater -> a negative spike is a minimum
+    out = detect_extrema_level(prev, cur, nxt, p, 16)
+    assert int(out.count) == 1
+    assert np.asarray(out.strength)[0] == pytest.approx(1.0)
+
+
+def test_relative_threshold():
+    """A secondary peak below peak_thresh * max|DoG| must be rejected."""
+    p = DetectorParams(peak_thresh=0.5)
+    prev, cur, nxt = _levels_with_peak()
+    cur = cur.at[3, 3, 3].set(0.4)  # 0.4 < 0.5 * 1.0
+    out = detect_extrema_level(prev, cur, nxt, p, 16)
+    assert int(out.count) == 1
+
+
+def test_boundary_excluded():
+    p = DetectorParams()
+    prev, cur, nxt = _levels_with_peak(pos=(0, 8, 8))
+    out = detect_extrema_level(prev, cur, nxt, p, 16)
+    assert int(out.count) == 0
+    # x = 1 is interior (the loop range is [1, n-2])
+    prev, cur, nxt = _levels_with_peak(pos=(1, 8, 8))
+    assert int(detect_extrema_level(prev, cur, nxt, p, 16).count) == 1
+
+
+def test_level_neighbors_block():
+    """A larger center value in the prev level blocks the maximum."""
+    p = DetectorParams()
+    prev, cur, nxt = _levels_with_peak()
+    prev = prev.at[8, 8, 8].set(2.0)
+    out = detect_extrema_level(prev, cur, nxt, p, 16)
+    assert int(out.count) == 0
+
+
+def test_capacity_overflow_reported():
+    p = DetectorParams(peak_thresh=1e-6)
+    rng = np.random.default_rng(0)
+    prev, cur, nxt = (jnp.asarray(rng.normal(size=(16,) * 3).astype(
+        np.float32)) for _ in range(3))
+    out = detect_extrema_level(prev, cur, nxt, p, 4)
+    assert int(out.count) >= 4
+    assert np.asarray(out.valid).sum() <= 4
+
+
+def test_candidate_order_is_zyx():
+    """Candidates must appear in the reference's scan order: z outer, y,
+    then x fastest."""
+    p = DetectorParams()
+    prev = jnp.zeros((16,) * 3, jnp.float32)
+    nxt = jnp.zeros((16,) * 3, jnp.float32)
+    cur = jnp.zeros((16,) * 3, jnp.float32)
+    for pos in [(2, 2, 10), (10, 2, 2), (2, 10, 2)]:
+        cur = cur.at[pos].set(1.0)
+    out = detect_extrema_level(prev, cur, nxt, p, 8)
+    got = [tuple(c) for c in np.asarray(out.coords)[:3]]
+    # sorted by (z, y, x)
+    assert got == [(10, 2, 2), (2, 10, 2), (2, 2, 10)]
+
+
+def test_cuboid_extrema_stricter():
+    p_cube = DetectorParams(cuboid_extrema=True)
+    prev, cur, nxt = _levels_with_peak()
+    # diagonal neighbor ties block the cuboid (80-neighbor) test only
+    cur = cur.at[7, 7, 7].set(1.0)
+    assert int(detect_extrema_level(prev, cur, nxt, p_cube, 16).count) == 0
+    p_face = DetectorParams()
+    assert int(detect_extrema_level(prev, cur, nxt, p_face, 16).count) == 2
+
+
+def test_default_capacity_bounds():
+    assert default_capacity(8 ** 3) == 128
+    assert default_capacity(64 ** 3) == 4096
+    assert default_capacity(10 ** 9) == 16384

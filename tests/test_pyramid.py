@@ -1,0 +1,90 @@
+"""Unit tests for the pyramid plan and builders (no oracle needed)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sift3d_tpu.params import DetectorParams
+from sift3d_tpu.pyramid import (build_dog, build_gpyr, downsample_2x,
+                                make_plan, scale_to_unit)
+
+
+def test_plan_structure():
+    p = DetectorParams()
+    plan = make_plan((64, 64, 64), (1.0, 1.0, 1.0), p)
+    assert plan.num_octaves == 4
+    assert plan.octave_dims == ((64,) * 3, (32,) * 3, (16,) * 3, (8,) * 3)
+    assert plan.num_gpyr_levels == 6
+    # scale schedule sigma0 * 2^(o + s/3), s = stacked - 1
+    assert plan.scales[0][1] == pytest.approx(1.6)
+    assert plan.scales[1][1] == pytest.approx(3.2)
+    assert plan.scales[0][0] == pytest.approx(1.6 * 2 ** (-1 / 3))
+    # scale continuity at the downsample point
+    assert plan.scales[0][plan.num_gpyr_levels - 3] == pytest.approx(
+        plan.scales[1][0])
+
+
+def test_plan_odd_dims():
+    p = DetectorParams()
+    plan = make_plan((100, 80, 72), (1.0, 1.0, 1.0), p)
+    # octave count from min dim 72: floor(log2(72)) = 6 -> 4 octaves
+    assert plan.num_octaves == 4
+    assert plan.octave_dims[1] == (50, 40, 36)
+    assert plan.octave_dims[2] == (25, 20, 18)
+    assert plan.octave_dims[3] == (12, 10, 9)
+
+
+def test_too_small_input():
+    p = DetectorParams()
+    with pytest.raises(ValueError):
+        make_plan((7, 64, 64), (1.0, 1.0, 1.0), p)
+
+
+def test_scale_to_unit():
+    v = jnp.asarray(np.array([[-4.0, 2.0]]))
+    out = np.asarray(scale_to_unit(v))
+    assert out.min() == -1.0 and out.max() == 0.5
+    z = jnp.zeros((2, 2))
+    assert np.all(np.asarray(scale_to_unit(z)) == 0.0)
+
+
+def test_downsample_2x():
+    v = jnp.asarray(np.arange(5 * 6 * 7, dtype=np.float32).reshape(5, 6, 7))
+    d = np.asarray(downsample_2x(v))
+    assert d.shape == (2, 3, 3)
+    assert d[1, 2, 2] == np.asarray(v)[2, 4, 4]
+
+
+def test_gpyr_matches_scipy_interior():
+    """Octave-0 levels must match scipy gaussian_filter in the interior
+    (the boundary rule differs from scipy's modes by design)."""
+    from scipy.ndimage import gaussian_filter
+    from sift3d_tpu.filters import incremental_sigma
+
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=(24, 24, 24)).astype(np.float32)
+    p = DetectorParams()
+    plan = make_plan(vol.shape, (1.0, 1.0, 1.0), p)
+    x = scale_to_unit(jnp.asarray(vol))
+    g = build_gpyr(x, plan)
+    sig = incremental_sigma(p.sigma_n, plan.scales[0][0])
+    ref = gaussian_filter(np.asarray(x), sig, truncate=3.0 / sig *
+                          max(int(np.ceil(3 * sig)), 1), mode="mirror")
+    got = np.asarray(g[0][0])
+    m = 10  # stay away from both boundary handling differences
+    assert np.allclose(ref[m:-m, m:-m, m:-m], got[m:-m, m:-m, m:-m],
+                       atol=2e-3)
+
+
+def test_dog():
+    p = DetectorParams()
+    plan = make_plan((16, 16, 16), (1.0, 1.0, 1.0), p)
+    vol = jnp.asarray(np.random.default_rng(0).normal(
+        size=(16, 16, 16)).astype(np.float32))
+    g = build_gpyr(scale_to_unit(vol), plan)
+    d = build_dog(g)
+    assert len(d) == plan.num_octaves
+    assert d[0].shape[0] == plan.num_dog_levels
+    np.testing.assert_allclose(np.asarray(d[0][0]),
+                               np.asarray(g[0][0] - g[0][1]), rtol=1e-6)
