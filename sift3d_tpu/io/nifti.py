@@ -106,10 +106,20 @@ def read_nifti(path):
             raw = f.read()
 
     count = nx * ny * nz * nc
-    data = np.frombuffer(raw, dtype=np_dtype, count=count).astype(np.float32)
-    # Apply scaling (nifti.c:101-111): slope 0 means "no scaling".
-    if scl_slope != 0.0:
-        data = data * np.float32(scl_slope) + np.float32(scl_inter)
+    # Typed copy + scaling (nifti.c:101-155); slope 0 means "no scaling".
+    # The native C++ cast kernel fuses convert+scale when available.
+    data = None
+    if endian == "<":
+        from .. import native
+        payload = raw[:count * np_dtype.itemsize]
+        data = native.cast_to_f32(payload, int(datatype), count,
+                                  float(scl_slope), float(scl_inter),
+                                  scl_slope != 0.0)
+    if data is None:
+        data = np.frombuffer(raw, dtype=np_dtype,
+                             count=count).astype(np.float32)
+        if scl_slope != 0.0:
+            data = data * np.float32(scl_slope) + np.float32(scl_inter)
     # x-fastest on disk.
     if nc > 1:
         data = data.reshape(nc, nz, ny, nx).transpose(3, 2, 1, 0)

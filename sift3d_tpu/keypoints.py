@@ -23,7 +23,12 @@ from .params import DESC_NUMEL
 def _write_csv(path: str, mat: np.ndarray) -> None:
     """Reference CSV format: '%f'-formatted, comma-delimited, newline after
     the last column of each row; gzip when the extension is .gz
-    (write_Mat_rm, imutil.c:405-479)."""
+    (write_Mat_rm, imutil.c:405-479). Uses the native C++ serializer when
+    available (sift3d_tpu/native), else pure Python."""
+    from . import native
+    mat = np.atleast_2d(np.asarray(mat, np.float64))
+    if native.csv_write(path, mat):
+        return
     buf = io.StringIO()
     for row in mat:
         buf.write(",".join(f"{v:f}" for v in row))

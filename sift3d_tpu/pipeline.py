@@ -49,6 +49,8 @@ def _level_keys(plan: PyramidPlan):
 
 @functools.lru_cache(maxsize=32)
 def _detect_fn(plan: PyramidPlan):
+    """Pyramid + DoG + extrema candidates (no orientation — that stage is
+    bucketed to the actual candidate counts, see _orient_fn)."""
     params = plan.params
     keys = _level_keys(plan)
     caps = {}
@@ -67,13 +69,27 @@ def _detect_fn(plan: PyramidPlan):
             cand = detect_extrema_level(
                 dog[o][i - 1], dog[o][i], dog[o][i + 1], params,
                 caps[(o, i)])
-            ori = assign_orientations(
-                gpyr[o][i], cand.coords, cand.valid, plan.scales[o][i],
-                plan.level_units(o), params)
-            out.append((cand, ori))
+            out.append(cand)
         return gpyr, out
 
     return run, keys, caps
+
+
+@functools.lru_cache(maxsize=256)
+def _orient_fn(plan: PyramidPlan, octave: int, dog_idx: int, bucket: int):
+    params = plan.params
+    sd = plan.scales[octave][dog_idx]
+    units = plan.level_units(octave)
+
+    @jax.jit
+    def run(level, coords, valid):
+        return assign_orientations(level, coords, valid, sd, units, params)
+
+    return run
+
+
+def _bucket(n: int, cap: int, minimum: int = 32) -> int:
+    return min(cap, max(minimum, 1 << (max(n, 1) - 1).bit_length()))
 
 
 @functools.lru_cache(maxsize=256)
@@ -117,11 +133,16 @@ class SIFT3D:
         self._plan, self._gpyr = plan, gpyr
         self._input_shape = vol.shape
 
-        # Host compaction in the reference's candidate order.
-        coords_l, strength_l, acc_l, oct_l, lvl_l, sd_l, R_l = \
-            [], [], [], [], [], [], []
-        for (o, i), (cand, ori) in zip(keys, per_level):
-            c = int(cand.count)
+        # One small device->host sync for all level counts (the device may
+        # sit behind a high-latency link — never transfer per level).
+        counts = jax.device_get(
+            jnp.stack([c.count for c in per_level])).tolist()
+
+        # Dispatch orientation per level (async), bucketed to the candidate
+        # count. Bucket quantization keeps the set of slice/program shapes
+        # small so compilations amortize across volumes.
+        pending = []  # (o, i, c, device pytree)
+        for (o, i), cand, c in zip(keys, per_level, counts):
             cap = caps[(o, i)]
             if c > cap:
                 warnings.warn(
@@ -129,10 +150,31 @@ class SIFT3D:
                     f" {c} candidates > capacity {cap}; increase "
                     f"DetectorParams.kp_per_level for exact results")
                 c = cap
-            coords_l.append(np.asarray(cand.coords)[:c])
-            strength_l.append(np.asarray(cand.strength)[:c])
-            acc_l.append(np.asarray(ori.accepted)[:c])
-            R_l.append(np.asarray(ori.R)[:c])
+            if c == 0:
+                continue
+            b = _bucket(c, cap)
+            ori = _orient_fn(plan, o, i, b)(
+                gpyr[o][i], cand.coords[:b], cand.valid[:b])
+            pending.append((o, i, c, b,
+                            (cand.coords[:b], cand.strength[:b],
+                             ori.R, ori.accepted)))
+
+        if not pending:
+            return Keypoints(
+                coords=np.zeros((0, 3)), octave=np.zeros(0, np.int32),
+                level=np.zeros(0, np.int32), sd=np.zeros(0),
+                strength=np.zeros(0), R=np.zeros((0, 3, 3), np.float32))
+
+        # One batched transfer for all levels' results.
+        host = jax.device_get([p[4] for p in pending])
+
+        coords_l, strength_l, acc_l, oct_l, lvl_l, sd_l, R_l = \
+            [], [], [], [], [], [], []
+        for (o, i, c, b, _), (co, st, R_, acc) in zip(pending, host):
+            coords_l.append(co[:c])
+            strength_l.append(st[:c])
+            acc_l.append(acc[:c])
+            R_l.append(R_[:c])
             oct_l.append(np.full(c, o, np.int32))
             lvl_l.append(np.full(c, i - 1, np.int32))  # raw level s
             sd_l.append(np.full(c, plan.scales[o][i], np.float64))
@@ -185,6 +227,8 @@ class SIFT3D:
             groups.setdefault(
                 (int(kp.octave[j]), int(kp.level[j]) + 1), []).append(j)
 
+        # Dispatch every level group (async), then one batched transfer.
+        pending = []
         for (o, i), idxs in groups.items():
             cnt = len(idxs)
             bucket = max(8, 1 << (cnt - 1).bit_length())
@@ -197,8 +241,12 @@ class SIFT3D:
             run = _extract_fn(plan, o, i, bucket)
             res = run(self._gpyr[o][i], jnp.asarray(coords), jnp.asarray(R),
                       jnp.asarray(valid))
-            data[idxs] = np.asarray(res.desc)[:cnt]
-            xyz[idxs] = np.asarray(res.xyz)[:cnt]
-            sd_out[idxs] = np.asarray(res.sd)[:cnt]
+            pending.append((idxs, cnt, res))
+
+        host = jax.device_get([p[2] for p in pending])
+        for (idxs, cnt, _), res in zip(pending, host):
+            data[idxs] = res.desc[:cnt]
+            xyz[idxs] = res.xyz[:cnt]
+            sd_out[idxs] = res.sd[:cnt]
 
         return Descriptors(xyz=xyz, sd=sd_out, data=data)
