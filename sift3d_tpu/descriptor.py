@@ -51,20 +51,24 @@ def _level_radius(sd: float, params: DetectorParams) -> float:
     return float(np.float32(params.desc_rad_fctr) * sigma)
 
 
-def _extract_one(level, coord, R, sd: float,
+def _extract_one(level, coord, center, R, sd,
                  units: tuple[float, float, float], extents, chunk_vox: int,
                  params: DetectorParams):
-    """Descriptor histogram [64, 12] for one keypoint."""
+    """Descriptor histogram [64, 12] for one keypoint.
+
+    coord: i32[3] gather anchor; center: f32[3] true (possibly fractional)
+    window center; sd: f32[] keypoint scale.
+    """
     prec = jax.lax.Precision.HIGHEST
     nb = NHIST_PER_DIM
 
     # Window parameters, float32 exactly as the C code (sift.c:1452-1458).
-    sigma = np.float32(np.float32(sd) * np.float32(params.desc_sig_fctr))
-    win_radius = np.float32(np.float32(params.desc_rad_fctr) * sigma)
-    desc_half_width = np.float32(win_radius / _SQRT2)
-    desc_width = np.float32(2.0) * desc_half_width
-    desc_hist_width = np.float32(desc_width / np.float32(nb))
-    desc_bin_fctr = np.float32(1.0) / desc_hist_width
+    sigma = sd * jnp.float32(params.desc_sig_fctr)
+    win_radius = jnp.float32(params.desc_rad_fctr) * sigma
+    desc_half_width = win_radius / jnp.float32(_SQRT2)
+    desc_width = jnp.float32(2.0) * desc_half_width
+    desc_hist_width = desc_width / jnp.float32(nb)
+    desc_bin_fctr = jnp.float32(1.0) / desc_hist_width
 
     win, start = gather_window(level, coord, extents)
 
@@ -92,9 +96,7 @@ def _extract_one(level, coord, R, sd: float,
     iz = jax.lax.broadcasted_iota(jnp.int32, ishape, 2) + 1 + start[2]
     ixf, iyf, izf = flat(ix), flat(iy), flat(iz)
 
-    cx = coord[0].astype(jnp.float32)
-    cy = coord[1].astype(jnp.float32)
-    cz = coord[2].astype(jnp.float32)
+    cx, cy, cz = center[0], center[1], center[2]
     n = level.shape
 
     # Reference loop bounds (IM_LOOP_SPHERE_START, sift.c:91-99).
@@ -200,30 +202,44 @@ def _normalize(hist: jnp.ndarray, params: DetectorParams) -> jnp.ndarray:
 
 
 def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
-                        R: jnp.ndarray, valid: jnp.ndarray, sd: float,
+                        R: jnp.ndarray, valid: jnp.ndarray, sd,
                         octave: int, units: tuple[float, float, float],
                         params: DetectorParams, kp_chunk: int = 8,
-                        vox_chunk: int = 2048) -> DescriptorResult:
+                        vox_chunk: int = 2048,
+                        centers: jnp.ndarray | None = None,
+                        sd_max: float | None = None) -> DescriptorResult:
     """Descriptors for all keypoints of one pyramid level.
 
-    coords i32[K,3], R f32[K,3,3]; sd is the level's absolute scale (static);
-    units are the level's voxel units. Invalid slots produce zeros.
+    coords i32[K,3] integer gather anchors, R f32[K,3,3]; sd is the level's
+    absolute scale (scalar) or per-keypoint f32[K] (subvoxel-refined);
+    centers optionally give fractional window centers; units are the level's
+    voxel units. Invalid slots produce zeros.
     """
-    rad = _level_radius(sd, params)
-    extents = tuple(window_extent(rad / units[a], level.shape[a])
+    if sd_max is None:
+        if not np.isscalar(sd):
+            raise ValueError("sd_max is required when sd is per-keypoint")
+        sd_max = float(sd)
+    rad = _level_radius(sd_max, params)
+    margin = 0 if centers is None else 4
+    extents = tuple(window_extent(rad / units[a], level.shape[a], margin)
                     for a in range(3))
 
+    if centers is None:
+        centers = coords.astype(jnp.float32)
+    K = coords.shape[0]
+    sd_arr = (jnp.full((K,), jnp.float32(sd)) if np.isscalar(sd)
+              else jnp.asarray(sd, jnp.float32))
+
     def one(args):
-        coord, Rk = args
-        return _extract_one(level, coord, Rk, sd, units, extents,
+        coord, center, Rk, sd_k = args
+        return _extract_one(level, coord, center, Rk, sd_k, units, extents,
                             vox_chunk, params)
 
-    hists = chunked_vmap(one, (coords, R), kp_chunk)   # [K, 64, 12]
+    hists = chunked_vmap(one, (coords, centers, R, sd_arr), kp_chunk)
     desc = jax.vmap(lambda h: _normalize(h, params))(hists)
     desc = jnp.where(valid[:, None, None], desc, 0.0)
     desc = desc.reshape(coords.shape[0], -1)
 
     coord_factor = jnp.float32(2.0 ** octave)
-    xyz = coords.astype(jnp.float32) * coord_factor
-    sd_arr = jnp.full((coords.shape[0],), jnp.float32(sd))
+    xyz = centers * coord_factor
     return DescriptorResult(desc, xyz, sd_arr)

@@ -86,22 +86,44 @@ def detect_extrema_level(prev: jnp.ndarray, cur: jnp.ndarray,
     # Compact to a fixed-capacity store in the reference's candidate order
     # (z outer, y middle, x fastest — SIFT3D_IM_LOOP_LIMITED_START,
     # immacros.h:78-82); downstream stages depend on this order to replicate
-    # the reference's post-compaction strength assignment. Scatter
-    # destinations beyond the capacity are dropped; `count` reports the true
-    # number for overflow detection.
+    # the reference's post-compaction strength assignment.
+    #
+    # TPU formulation: candidates are sparse, so a full-volume cumsum+scatter
+    # is waste (XLA's prefix scan is O(n log n) passes and TPU scatter is
+    # slow). Instead: one reduction pass computes per-block candidate counts;
+    # block offsets locate the j-th candidate's block by batched binary
+    # search (searchsorted); only the selected blocks (O(capacity) data) are
+    # gathered and rank-resolved. Everything after the single full pass costs
+    # O(capacity * block).
+    C = 128  # block length, one vector lane
     flat_mask = mask.transpose(2, 1, 0).ravel()
-    count = jnp.sum(flat_mask, dtype=jnp.int32)
-    dest = jnp.where(flat_mask, jnp.cumsum(flat_mask) - 1, capacity)
+    m = flat_mask.shape[0]
+    B = -(-m // C)
+    pad = B * C - m
+    blocks = jnp.pad(flat_mask, (0, pad)).reshape(B, C)
+    bc = jnp.sum(blocks, axis=1, dtype=jnp.int32)      # [B] block counts
+    boff = jnp.cumsum(bc)                              # [B] inclusive
+    count = boff[-1]
+
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    blk = jnp.searchsorted(boff, j, side="right").astype(jnp.int32)
+    blk_c = jnp.minimum(blk, B - 1)
+    prev = boff[blk_c] - bc[blk_c]                     # candidates before blk
+    rank = j - prev                                    # rank within block
+    rows = blocks[blk_c]                               # [capacity, C]
+    rcum = jnp.cumsum(rows.astype(jnp.int32), axis=1)
+    within = jnp.argmax(rows & (rcum == rank[:, None] + 1),
+                        axis=1).astype(jnp.int32)
+    flat_idx = blk_c * C + within                      # index in (z,y,x) flat
 
     mx, my, mz = pcur.shape
-    ix = jax.lax.broadcasted_iota(jnp.int32, (mz, my, mx), 2) + 1
-    iy = jax.lax.broadcasted_iota(jnp.int32, (mz, my, mx), 1) + 1
-    iz = jax.lax.broadcasted_iota(jnp.int32, (mz, my, mx), 0) + 1
-    coords_all = jnp.stack([ix.ravel(), iy.ravel(), iz.ravel()], axis=-1)
-
-    coords = jnp.zeros((capacity, 3), jnp.int32).at[dest].set(
-        coords_all, mode="drop")
-    strength = jnp.zeros((capacity,), jnp.float32).at[dest].set(
-        jnp.abs(pcur).transpose(2, 1, 0).ravel(), mode="drop")
-    valid = (jnp.arange(capacity) < jnp.minimum(count, capacity))
+    zz = flat_idx // (my * mx)
+    rem = flat_idx - zz * (my * mx)
+    yy = rem // mx
+    xx = rem - yy * mx
+    valid = j < jnp.minimum(count, capacity)
+    coords = jnp.where(valid[:, None],
+                       jnp.stack([xx + 1, yy + 1, zz + 1], axis=-1), 0)
+    strength = jnp.where(
+        valid, jnp.abs(pcur)[xx, yy, zz], 0.0).astype(jnp.float32)
     return LevelCandidates(coords, strength, valid, count)

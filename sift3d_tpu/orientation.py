@@ -15,7 +15,8 @@ real-world units (IM_GET_GRAD_ISO, sift.c:140-145).
 TPU formulation: windows are fixed-size gathers (windows.py); the weighted
 covariance reduces each window to 9 numbers; eigendecomposition runs batched
 over all keypoints via jnp.linalg.eigh; every rejection is a mask, not a
-compaction.
+compaction. Keypoint centers may be fractional (subvoxel refinement) and
+scales per-keypoint; window *shapes* stay static via a scale upper bound.
 """
 
 from __future__ import annotations
@@ -36,14 +37,18 @@ class OrientationResult(NamedTuple):
     accepted: jnp.ndarray  # bool[K] (True = keypoint survives)
 
 
-def _window_moments(level, coord, sd: float, units, extents,
+def _window_moments(level, coord, center, sd, units, extents,
                     params: DetectorParams):
-    """Structure tensor A[3,3] and mean gradient [3] for one keypoint."""
-    sigma = params.ori_sig_fctr * sd
-    rad = sigma * params.ori_rad_fctr
+    """Structure tensor A[3,3] and mean gradient [3] for one keypoint.
+
+    coord: i32[3] gather anchor; center: f32[3] true (possibly fractional)
+    window center; sd: f32[] keypoint scale.
+    """
+    sigma = jnp.float32(params.ori_sig_fctr) * sd
+    rad = sigma * jnp.float32(params.ori_rad_fctr)
     win, start = gather_window(level, coord, extents)
 
-    ux, uy, uz = units
+    ux, uy, uz = (np.float32(u) for u in units)
     inv = [np.float32(1.0) / np.float32(u) for u in units]
     # Interior of the gather (gradient-safe border of 1). Gradients multiply
     # by the reciprocal units, as IM_GET_GRAD_ISO does (sift.c:140-145).
@@ -52,34 +57,28 @@ def _window_moments(level, coord, sd: float, units, extents,
     gz = 0.5 * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) * inv[2]
 
     # Absolute voxel coordinates of the interior grid.
-    axes = []
-    for a, G in enumerate(extents):
-        axes.append(start[a] + 1 + jax.lax.broadcasted_iota(
-            jnp.int32, (extents[0] - 2, extents[1] - 2, extents[2] - 2), a))
+    ishape = (extents[0] - 2, extents[1] - 2, extents[2] - 2)
+    axes = [start[a] + 1 + jax.lax.broadcasted_iota(jnp.int32, ishape, a)
+            for a in range(3)]
     X, Y, Z = axes
 
     # Reference loop bounds (sift.c:91-99), computed in f32 like the C code.
-    cx = coord[0].astype(jnp.float32)
-    cy = coord[1].astype(jnp.float32)
-    cz = coord[2].astype(jnp.float32)
-    radf = jnp.float32(rad)
+    cx, cy, cz = center[0], center[1], center[2]
     n = level.shape
     mask = jnp.ones(X.shape, dtype=bool)
     for a, (c, u, I) in enumerate(
             zip((cx, cy, cz), (ux, uy, uz), (X, Y, Z))):
-        lo = jnp.maximum(jnp.floor(c - radf / jnp.float32(u)), 1.0)
-        hi = jnp.minimum(jnp.ceil(c + radf / jnp.float32(u)),
-                         jnp.float32(n[a] - 2))
+        lo = jnp.maximum(jnp.floor(c - rad / u), 1.0)
+        hi = jnp.minimum(jnp.ceil(c + rad / u), jnp.float32(n[a] - 2))
         mask &= (I >= lo.astype(jnp.int32)) & (I <= hi.astype(jnp.int32))
 
-    dx = (X.astype(jnp.float32) - cx) * jnp.float32(ux)
-    dy = (Y.astype(jnp.float32) - cy) * jnp.float32(uy)
-    dz = (Z.astype(jnp.float32) - cz) * jnp.float32(uz)
+    dx = (X.astype(jnp.float32) - cx) * ux
+    dy = (Y.astype(jnp.float32) - cy) * uy
+    dz = (Z.astype(jnp.float32) - cz) * uz
     sq_dist = dx * dx + dy * dy + dz * dz
-    mask &= sq_dist <= jnp.float32(rad * rad)
+    mask &= sq_dist <= rad * rad
 
-    weight = jnp.where(
-        mask, jnp.exp(-0.5 * sq_dist / jnp.float32(sigma * sigma)), 0.0)
+    weight = jnp.where(mask, jnp.exp(-0.5 * sq_dist / (sigma * sigma)), 0.0)
 
     g = jnp.stack([gx, gy, gz], axis=-1)          # [gx,gy,gz] per voxel
     wg = weight[..., None] * g
@@ -92,21 +91,40 @@ def _window_moments(level, coord, sd: float, units, extents,
 
 
 def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
-                        valid: jnp.ndarray, sd: float,
+                        valid: jnp.ndarray, sd,
                         units: tuple[float, float, float],
                         params: DetectorParams,
-                        chunk: int = 256) -> OrientationResult:
+                        chunk: int = 256,
+                        centers: jnp.ndarray | None = None,
+                        sd_max: float | None = None) -> OrientationResult:
     """Batched orientation assignment for all keypoints of one pyramid level.
 
-    coords: i32[K, 3]; sd is the level's absolute scale (static).
+    coords: i32[K, 3] integer gather anchors. centers: optional f32[K, 3]
+    true window centers (defaults to coords). sd: the level's absolute scale
+    (scalar) or per-keypoint f32[K]. sd_max: static upper bound on sd used to
+    size windows (defaults to scalar sd).
     """
-    rad = params.ori_sig_fctr * sd * params.ori_rad_fctr
-    extents = tuple(window_extent(rad / units[a], level.shape[a])
+    if sd_max is None:
+        if not np.isscalar(sd):
+            raise ValueError("sd_max is required when sd is per-keypoint")
+        sd_max = float(sd)
+    rad_max = params.ori_sig_fctr * sd_max * params.ori_rad_fctr
+    # slack when centers can be fractional (refined offsets are clamped to
+    # one voxel around the integer anchor, +1 for the gradient border)
+    margin = 0 if centers is None else 4
+    extents = tuple(window_extent(rad_max / units[a], level.shape[a], margin)
                     for a in range(3))
 
+    if centers is None:
+        centers = coords.astype(jnp.float32)
+    K = coords.shape[0]
+    sd_arr = (jnp.full((K,), jnp.float32(sd)) if np.isscalar(sd)
+              else jnp.asarray(sd, jnp.float32))
+
     A, vd_win = chunked_vmap(
-        lambda c: _window_moments(level, c, sd, units, extents, params),
-        coords, chunk)
+        lambda args: _window_moments(level, args[0], args[1], args[2],
+                                     units, extents, params),
+        (coords, centers, sd_arr), chunk)
 
     # Batched symmetric eigendecomposition, ascending eigenvalues (same
     # convention as LAPACK dsyevd in eigen_Mat_rm, imutil.c:960-1067).
@@ -121,6 +139,7 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
     ratio01 = jnp.abs(L[:, 0] / L[:, 1])
     ratio12 = jnp.abs(L[:, 1] / L[:, 2])
     thr = jnp.float32(params.max_eig_ratio)
+
     def _gt(r):
         return jnp.where(jnp.isnan(r), False, r > thr)
     reject_ratio = _gt(ratio01) | _gt(ratio12)

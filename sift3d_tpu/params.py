@@ -57,6 +57,14 @@ class DetectorParams:
     desc_rad_fctr: float = 2.0
     trunc_thresh: float = 0.2 * 128.0 / DESC_NUMEL
 
+    # --- opt-in extensions (removed from the reference fork; see
+    #     CHANGES.md:56 and the dead Hessian macro immacros.h:113-150) ---
+    # Subvoxel refinement: quadratic fit of the DoG around each extremum.
+    refine_subvoxel: bool = False
+    # Hessian edge rejection: reject candidates whose spatial-Hessian
+    # eigenvalue magnitudes differ by more than this ratio. None = off.
+    edge_thresh: Optional[float] = None
+
     # --- TPU execution knobs (no reference equivalent) ---
     # Max keypoint candidates retained per pyramid level. None = auto
     # (scales with the level's voxel count). Overflow is reported.
@@ -86,6 +94,10 @@ class DetectorParams:
             raise ValueError(
                 f"sigma_n ({self.sigma_n}) exceeds the scale of the first "
                 f"pyramid level ({self.first_level_scale})")
+        if self.edge_thresh is not None and self.edge_thresh < 1.0:
+            raise ValueError(
+                f"edge_thresh must be >= 1 (eigenvalue magnitude ratio), "
+                f"got {self.edge_thresh}")
         if self.conv_precision not in ("highest", "high", "default"):
             raise ValueError(
                 f"conv_precision must be 'highest', 'high' or 'default', "

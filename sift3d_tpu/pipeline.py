@@ -59,6 +59,8 @@ def _detect_fn(plan: PyramidPlan):
         caps[(o, i)] = (params.kp_per_level if params.kp_per_level
                         else default_capacity(nvox))
 
+    extensions = params.refine_subvoxel or params.edge_thresh is not None
+
     @jax.jit
     def run(data):
         x = scale_to_unit(data)
@@ -69,7 +71,14 @@ def _detect_fn(plan: PyramidPlan):
             cand = detect_extrema_level(
                 dog[o][i - 1], dog[o][i], dog[o][i + 1], params,
                 caps[(o, i)])
-            out.append(cand)
+            if extensions:
+                from .refinement import refine_candidates
+                ref = refine_candidates(dog[o][i - 1], dog[o][i],
+                                        dog[o][i + 1], cand.coords,
+                                        cand.valid, params)
+            else:
+                ref = None
+            out.append((cand, ref))
         return gpyr, out
 
     return run, keys, caps
@@ -88,6 +97,25 @@ def _orient_fn(plan: PyramidPlan, octave: int, dog_idx: int, bucket: int):
     return run
 
 
+@functools.lru_cache(maxsize=256)
+def _orient_fn_ext(plan: PyramidPlan, octave: int, dog_idx: int,
+                   bucket: int):
+    """Orientation with fractional centers and per-keypoint scales
+    (subvoxel-refinement mode)."""
+    params = plan.params
+    sd_level = plan.scales[octave][dog_idx]
+    # refined |ds| <= 1 level unit
+    sd_max = sd_level * 2.0 ** (1.0 / params.num_kp_levels)
+    units = plan.level_units(octave)
+
+    @jax.jit
+    def run(level, coords, valid, centers, sd_arr):
+        return assign_orientations(level, coords, valid, sd_arr, units,
+                                   params, centers=centers, sd_max=sd_max)
+
+    return run
+
+
 def _bucket(n: int, cap: int, minimum: int = 32) -> int:
     return min(cap, max(minimum, 1 << (max(n, 1) - 1).bit_length()))
 
@@ -102,6 +130,23 @@ def _extract_fn(plan: PyramidPlan, octave: int, dog_idx: int, bucket: int):
     def run(level, coords, R, valid):
         return _extract_level(level, coords, R, valid, sd, octave, units,
                               params)
+
+    return run
+
+
+@functools.lru_cache(maxsize=256)
+def _extract_fn_ext(plan: PyramidPlan, octave: int, dog_idx: int,
+                    bucket: int):
+    """Descriptors with fractional centers / per-keypoint scales."""
+    params = plan.params
+    sd_level = plan.scales[octave][dog_idx]
+    sd_max = sd_level * 2.0 ** (1.0 / params.num_kp_levels)
+    units = plan.level_units(octave)
+
+    @jax.jit
+    def run(level, coords, R, valid, centers, sd_arr):
+        return _extract_level(level, coords, R, valid, sd_arr, octave,
+                              units, params, centers=centers, sd_max=sd_max)
 
     return run
 
@@ -136,13 +181,17 @@ class SIFT3D:
         # One small device->host sync for all level counts (the device may
         # sit behind a high-latency link — never transfer per level).
         counts = jax.device_get(
-            jnp.stack([c.count for c in per_level])).tolist()
+            jnp.stack([c.count for c, _ in per_level])).tolist()
+
+        extensions = (self.params.refine_subvoxel
+                      or self.params.edge_thresh is not None)
+        L = self.params.num_kp_levels
 
         # Dispatch orientation per level (async), bucketed to the candidate
         # count. Bucket quantization keeps the set of slice/program shapes
         # small so compilations amortize across volumes.
-        pending = []  # (o, i, c, device pytree)
-        for (o, i), cand, c in zip(keys, per_level, counts):
+        pending = []  # (o, i, c, bucket, device pytree)
+        for (o, i), (cand, ref), c in zip(keys, per_level, counts):
             cap = caps[(o, i)]
             if c > cap:
                 warnings.warn(
@@ -153,11 +202,22 @@ class SIFT3D:
             if c == 0:
                 continue
             b = _bucket(c, cap)
-            ori = _orient_fn(plan, o, i, b)(
-                gpyr[o][i], cand.coords[:b], cand.valid[:b])
-            pending.append((o, i, c, b,
-                            (cand.coords[:b], cand.strength[:b],
-                             ori.R, ori.accepted)))
+            if extensions:
+                centers = (cand.coords[:b].astype(jnp.float32)
+                           + ref.offset[:b])
+                sd_arr = jnp.float32(plan.scales[o][i]) * jnp.exp2(
+                    ref.ds[:b] / jnp.float32(L))
+                valid_b = cand.valid[:b] & ref.edge_ok[:b]
+                ori = _orient_fn_ext(plan, o, i, b)(
+                    gpyr[o][i], cand.coords[:b], valid_b, centers, sd_arr)
+                payload = (centers, cand.strength[:b], ori.R, ori.accepted,
+                           sd_arr)
+            else:
+                ori = _orient_fn(plan, o, i, b)(
+                    gpyr[o][i], cand.coords[:b], cand.valid[:b])
+                payload = (cand.coords[:b], cand.strength[:b], ori.R,
+                           ori.accepted, None)
+            pending.append((o, i, c, b, payload))
 
         if not pending:
             return Keypoints(
@@ -170,14 +230,15 @@ class SIFT3D:
 
         coords_l, strength_l, acc_l, oct_l, lvl_l, sd_l, R_l = \
             [], [], [], [], [], [], []
-        for (o, i, c, b, _), (co, st, R_, acc) in zip(pending, host):
+        for (o, i, c, b, _), (co, st, R_, acc, sd_a) in zip(pending, host):
             coords_l.append(co[:c])
             strength_l.append(st[:c])
             acc_l.append(acc[:c])
             R_l.append(R_[:c])
             oct_l.append(np.full(c, o, np.int32))
             lvl_l.append(np.full(c, i - 1, np.int32))  # raw level s
-            sd_l.append(np.full(c, plan.scales[o][i], np.float64))
+            sd_l.append(sd_a[:c].astype(np.float64) if sd_a is not None
+                        else np.full(c, plan.scales[o][i], np.float64))
 
         coords = np.concatenate(coords_l).astype(np.float64)
         strength = np.concatenate(strength_l).astype(np.float64)
@@ -189,7 +250,7 @@ class SIFT3D:
 
         idx = np.nonzero(accepted)[0]
         n = len(idx)
-        if self.stale_strength_compat:
+        if self.stale_strength_compat and not extensions:
             out_strength = strength[:n]  # the reference's stale values
         else:
             out_strength = strength[idx]
@@ -227,6 +288,11 @@ class SIFT3D:
             groups.setdefault(
                 (int(kp.octave[j]), int(kp.level[j]) + 1), []).append(j)
 
+        # Refined keypoints carry fractional coordinates / per-keypoint
+        # scales; route those through the extended extractor.
+        refined = (not np.all(kp.coords == np.rint(kp.coords))
+                   or self.params.refine_subvoxel)
+
         # Dispatch every level group (async), then one batched transfer.
         pending = []
         for (o, i), idxs in groups.items():
@@ -235,12 +301,22 @@ class SIFT3D:
             coords = np.zeros((bucket, 3), np.int32)
             R = np.tile(np.eye(3, dtype=np.float32), (bucket, 1, 1))
             valid = np.zeros((bucket,), bool)
-            coords[:cnt] = kp.coords[idxs]
+            coords[:cnt] = np.rint(kp.coords[idxs]).astype(np.int32)
             R[:cnt] = kp.R[idxs]
             valid[:cnt] = True
-            run = _extract_fn(plan, o, i, bucket)
-            res = run(self._gpyr[o][i], jnp.asarray(coords), jnp.asarray(R),
-                      jnp.asarray(valid))
+            if refined:
+                centers = np.zeros((bucket, 3), np.float32)
+                centers[:cnt] = kp.coords[idxs]
+                sd_arr = np.full((bucket,), plan.scales[o][i], np.float32)
+                sd_arr[:cnt] = kp.sd[idxs]
+                run = _extract_fn_ext(plan, o, i, bucket)
+                res = run(self._gpyr[o][i], jnp.asarray(coords),
+                          jnp.asarray(R), jnp.asarray(valid),
+                          jnp.asarray(centers), jnp.asarray(sd_arr))
+            else:
+                run = _extract_fn(plan, o, i, bucket)
+                res = run(self._gpyr[o][i], jnp.asarray(coords),
+                          jnp.asarray(R), jnp.asarray(valid))
             pending.append((idxs, cnt, res))
 
         host = jax.device_get([p[2] for p in pending])

@@ -16,11 +16,11 @@ import jax
 import jax.numpy as jnp
 
 
-def window_extent(radius_vox: float, n: int) -> int:
-    """Gather size along one axis: window diameter + 1-voxel gradient border,
-    clipped to the level size."""
+def window_extent(radius_vox: float, n: int, margin: int = 0) -> int:
+    """Gather size along one axis: window diameter + 1-voxel gradient border
+    (+ extra margin for fractional centers), clipped to the level size."""
     import math
-    return min(2 * math.ceil(radius_vox) + 3, n)
+    return min(2 * math.ceil(radius_vox) + 3 + margin, n)
 
 
 def gather_window(level: jnp.ndarray, coord: jnp.ndarray,
