@@ -83,18 +83,26 @@ def detect_extrema_level(prev: jnp.ndarray, cur: jnp.ndarray,
 
     mask = ((pcur > peak) | (pcur < -peak)) & (is_max | is_min)
 
-    # Compact to a fixed-capacity store in the reference's candidate order
-    # (z outer, y middle, x fastest — SIFT3D_IM_LOOP_LIMITED_START,
-    # immacros.h:78-82); downstream stages depend on this order to replicate
-    # the reference's post-compaction strength assignment.
-    #
-    # TPU formulation: candidates are sparse, so a full-volume cumsum+scatter
-    # is waste (XLA's prefix scan is O(n log n) passes and TPU scatter is
-    # slow). Instead: one reduction pass computes per-block candidate counts;
-    # block offsets locate the j-th candidate's block by batched binary
-    # search (searchsorted); only the selected blocks (O(capacity) data) are
-    # gathered and rank-resolved. Everything after the single full pass costs
-    # O(capacity * block).
+    return compact_candidates(mask, pcur, capacity)
+
+
+def compact_candidates(mask: jnp.ndarray, pcur: jnp.ndarray,
+                       capacity: int) -> LevelCandidates:
+    """Compact an interior candidate mask to a fixed-capacity store in the
+    reference's candidate order (z outer, y middle, x fastest —
+    SIFT3D_IM_LOOP_LIMITED_START, immacros.h:78-82); downstream stages depend
+    on this order to replicate the reference's post-compaction strength
+    assignment. `mask`/`pcur` cover the interior grid (coordinate c maps to
+    voxel c+1).
+
+    TPU formulation: candidates are sparse, so a full-volume cumsum+scatter
+    is waste (XLA's prefix scan is O(n log n) passes and TPU scatter is
+    slow). Instead: one reduction pass computes per-block candidate counts;
+    block offsets locate the j-th candidate's block by batched binary search
+    (searchsorted); only the selected blocks (O(capacity) data) are gathered
+    and rank-resolved. Everything after the single full pass costs
+    O(capacity * block).
+    """
     C = 128  # block length, one vector lane
     flat_mask = mask.transpose(2, 1, 0).ravel()
     m = flat_mask.shape[0]

@@ -1,0 +1,328 @@
+"""Spatial ("context") parallelism: one volume sharded along z over a mesh.
+
+The volumetric analogue of sequence/context parallelism (SURVEY section 5):
+volumes whose scale-space pyramid exceeds one chip's HBM are sharded along z.
+
+ - The Gaussian pyramid keeps x/y blurs local (they are per-z-slab matmuls)
+   and runs the z blur through the halo-exchange kernel (halo.py): one
+   ppermute pair per pass over the ICI ring.
+ - Extrema detection exchanges a single-voxel halo per level triple, takes
+   the level max with a pmax collective, and compacts candidates *per shard*.
+   Because the reference's candidate order is z-major (immacros.h:78-82) and
+   z is the sharded axis, concatenating per-shard candidate lists in shard
+   order reproduces the exact global candidate order — the stale-strength
+   parity semantics survive sharding untouched.
+ - Octaves whose local z extent would drop below the blur halo are gathered
+   to replicated form and proceed single-device (they are 8^o times smaller
+   than the input; the memory win lives entirely in the first octaves).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..detect import LevelCandidates, compact_candidates, default_capacity
+from ..params import DetectorParams
+from ..pyramid import PyramidPlan, blur, downsample_2x, scale_to_unit
+from .halo import band_halo, sharded_blur_z
+
+
+def _blur_sharded(vol, Ws, plan: PyramidPlan, mesh: Mesh, axis: str):
+    """One separable blur with the z pass through the halo kernel."""
+    prec = jax.lax.Precision.HIGHEST
+    Wx, Wy, Wz = Ws
+    vol = jnp.einsum("ab,byz->ayz", jnp.asarray(Wx), vol, precision=prec)
+    vol = jnp.einsum("ab,xbz->xaz", jnp.asarray(Wy), vol, precision=prec)
+    return sharded_blur_z(vol, Wz, mesh, axis)
+
+
+def max_blur_halo(plan: PyramidPlan, octave: int) -> int:
+    """Largest z-halo any blur at this octave needs."""
+    h = band_halo(plan.conv_matrices(octave, plan.first_taps)[2])
+    for i in range(1, plan.num_gpyr_levels):
+        h = max(h, band_halo(plan.conv_matrices(octave,
+                                                plan.level_taps[i])[2]))
+    return h
+
+
+def octave_is_sharded(plan: PyramidPlan, octave: int, ndev: int) -> bool:
+    nz = plan.octave_dims[octave][2]
+    return nz % ndev == 0 and nz // ndev >= max_blur_halo(plan, octave)
+
+
+def build_gpyr_sharded(vol, plan: PyramidPlan, mesh: Mesh, axis: str):
+    """Gaussian pyramid with z-sharded early octaves. Returns (gpyr list,
+    sharded_flags list)."""
+    params = plan.params
+    ndev = mesh.shape[axis]
+    L = plan.num_gpyr_levels
+    rep = NamedSharding(mesh, P())
+
+    octaves, flags = [], []
+    for o in range(plan.num_octaves):
+        sharded = octave_is_sharded(plan, o, ndev)
+        if o == 0:
+            src = vol
+        else:
+            src = downsample_2x(octaves[o - 1][L - 3])
+        if not sharded:
+            src = jax.lax.with_sharding_constraint(src, rep)
+
+        def do_blur(x, taps):
+            Ws = plan.conv_matrices(o, taps)
+            if sharded:
+                return _blur_sharded(x, Ws, plan, mesh, axis)
+            return blur(x, Ws, params)
+
+        levels = [do_blur(src, plan.first_taps) if o == 0 else src]
+        for i in range(1, L):
+            levels.append(do_blur(levels[i - 1], plan.level_taps[i]))
+        octaves.append(jnp.stack(levels))
+        flags.append(sharded)
+    return octaves, flags
+
+
+def detect_extrema_level_sharded(prev, cur, next_, params: DetectorParams,
+                                 cap_per_shard: int, mesh: Mesh, axis: str):
+    """Sharded extrema detection on one DoG level triple; returns per-shard
+    candidate stores stacked on a leading shard axis [ndev, cap_per_shard]
+    whose concatenation is the exact global (z,y,x) candidate order."""
+    from ..detect import _CUBE_OFFSETS, _FACE_OFFSETS
+
+    ndev = mesh.shape[axis]
+    nx, ny, nz = cur.shape
+    local = nz // ndev
+    fwd = [(j, (j + 1) % ndev) for j in range(ndev)]
+    bwd = [(j, (j - 1) % ndev) for j in range(ndev)]
+
+    def f(p_, c_, n_):
+        stack = jnp.stack([p_, c_, n_])                 # [3, nx, ny, local]
+        from_left = jax.lax.ppermute(stack[..., -1:], axis, fwd)
+        from_right = jax.lax.ppermute(stack[..., :1], axis, bwd)
+        ext = jnp.concatenate([from_left, stack, from_right], axis=-1)
+        pe, ce, ne = ext[0], ext[1], ext[2]
+
+        dogmax = jax.lax.pmax(jnp.max(jnp.abs(c_)), axis)
+        peak = jnp.float32(params.peak_thresh) * dogmax
+
+        # interior grid: x,y in [1, n-2]; all local z (ext offset +1)
+        def sh(a, dx, dy, dz):
+            return a[1 + dx: nx - 1 + dx, 1 + dy: ny - 1 + dy,
+                     1 + dz: 1 + local + dz]
+        pcur = sh(ce, 0, 0, 0)
+        if params.cuboid_extrema:
+            cur_n = [sh(ce, *off) for off in _CUBE_OFFSETS
+                     if off != (0, 0, 0)]
+            prev_n = [sh(pe, *off) for off in _CUBE_OFFSETS]
+            next_n = [sh(ne, *off) for off in _CUBE_OFFSETS]
+        else:
+            cur_n = [sh(ce, *off) for off in _FACE_OFFSETS]
+            prev_n = [sh(pe, 0, 0, 0)]
+            next_n = [sh(ne, 0, 0, 0)]
+        is_max = jnp.ones_like(pcur, bool)
+        is_min = jnp.ones_like(pcur, bool)
+        for nb in cur_n + prev_n + next_n:
+            is_max &= pcur > nb
+            is_min &= pcur < nb
+        mask = ((pcur > peak) | (pcur < -peak)) & (is_max | is_min)
+
+        # global z-interior constraint [1, nz-2]
+        zoff = jax.lax.axis_index(axis) * local
+        zglob = zoff + jax.lax.broadcasted_iota(jnp.int32, pcur.shape, 2)
+        mask &= (zglob >= 1) & (zglob <= nz - 2)
+
+        cand = compact_candidates(mask, pcur, cap_per_shard)
+        # compact_candidates maps interior z index i to i+1; the true global
+        # z is zoff + i.
+        coords = cand.coords.at[:, 2].add(
+            jnp.where(cand.valid, zoff - 1, 0))
+        return (coords[None], cand.strength[None], cand.valid[None],
+                cand.count[None])
+
+    spec_in = P(None, None, axis)
+    spec_out = (P(axis, None, None), P(axis, None), P(axis, None), P(axis))
+    coords, strength, valid, count = shard_map(
+        f, mesh=mesh, in_specs=(spec_in,) * 3, out_specs=spec_out,
+        check_rep=False)(prev, cur, next_)
+    return LevelCandidates(coords, strength, valid, count)
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_detect_fn(plan: PyramidPlan, mesh: Mesh, axis: str):
+    params = plan.params
+    ndev = mesh.shape[axis]
+    keys = [(o, i) for o in range(plan.num_octaves)
+            for i in range(1, params.num_dog_levels - 1)]
+    caps = {}
+    for o, i in keys:
+        nvox = int(np.prod(plan.octave_dims[o]))
+        cap = (params.kp_per_level if params.kp_per_level
+               else default_capacity(nvox))
+        caps[(o, i)] = cap
+
+    @jax.jit
+    def run(data):
+        x = scale_to_unit(data)
+        gpyr, flags = build_gpyr_sharded(x, plan, mesh, axis)
+        out = []
+        for o, i in keys:
+            d_prev = gpyr[o][i - 1] - gpyr[o][i]
+            d_cur = gpyr[o][i] - gpyr[o][i + 1]
+            d_next = gpyr[o][i + 1] - gpyr[o][i + 2]
+            if flags[o]:
+                cap_l = -(-caps[(o, i)] // ndev)
+                cand = detect_extrema_level_sharded(
+                    d_prev, d_cur, d_next, params, cap_l, mesh, axis)
+            else:
+                from ..detect import detect_extrema_level
+                cand = detect_extrema_level(d_prev, d_cur, d_next, params,
+                                            caps[(o, i)])
+            out.append(cand)
+        return gpyr, flags, out
+
+    return run, keys, caps
+
+
+class ShardedSIFT3D:
+    """Detector for volumes sharded along z over a device mesh.
+
+    Usage::
+
+        mesh = make_mesh({"z": 8})
+        det = ShardedSIFT3D(mesh=mesh)
+        kp = det.detect_keypoints(vol)      # vol [nx, ny, nz]
+        desc = det.extract_descriptors(kp)
+
+    Detection semantics are identical to SIFT3D (including the reference's
+    candidate order and stale-strength behavior); only the execution is
+    distributed. Orientation and descriptor windows run under GSPMD over the
+    sharded levels (XLA inserts the required communication).
+    """
+
+    def __init__(self, params: DetectorParams = DetectorParams(),
+                 mesh: Mesh = None, axis: str = "z",
+                 stale_strength_compat: bool = True):
+        from .mesh import make_mesh
+        if params.refine_subvoxel or params.edge_thresh is not None:
+            raise NotImplementedError(
+                "subvoxel refinement / edge rejection are not yet supported "
+                "in the sharded detector; use SIFT3D")
+        self.params = params
+        self.mesh = mesh if mesh is not None else make_mesh({"z": len(
+            jax.devices())})
+        self.axis = axis
+        self.stale_strength_compat = stale_strength_compat
+        self._plan = None
+        self._gpyr = None
+        self._input_shape = None
+
+    def detect_keypoints(self, vol):
+        import warnings
+
+        from ..keypoints import Keypoints
+        from ..pipeline import _bucket, _orient_fn
+        from ..pyramid import make_plan
+        from ..volume import as_volume
+
+        vol = as_volume(vol)
+        plan = make_plan(vol.shape, vol.units, self.params)
+        run, keys, caps = _sharded_detect_fn(plan, self.mesh, self.axis)
+        data = jax.device_put(
+            vol.data, NamedSharding(self.mesh, P(None, None, self.axis)))
+        gpyr, flags, per_level = run(data)
+        self._plan, self._gpyr = plan, gpyr
+        self._input_shape = vol.shape
+
+        ndev = self.mesh.shape[self.axis]
+        counts = jax.device_get([c.count for c in per_level])
+
+        pending = []
+        for (o, i), cand, cnt in zip(keys, per_level, counts):
+            cnt = np.atleast_1d(cnt)
+            sharded = cnt.shape[0] > 1
+            if sharded:
+                # flatten shard-major: shard order == global (z,y,x) order
+                cap_l = cand.coords.shape[1]
+                over = cnt > cap_l
+                if np.any(over):
+                    warnings.warn(
+                        f"keypoint capacity overflow at octave {o} level "
+                        f"{i - 1}")
+                pieces = [(s, int(min(cnt[s], cap_l))) for s in range(ndev)
+                          if cnt[s] > 0]
+                for s, c in pieces:
+                    pending.append(((o, i), cand, s, c))
+            else:
+                c = int(cnt[0])
+                if c > caps[(o, i)]:
+                    warnings.warn(
+                        f"keypoint capacity overflow at octave {o} level "
+                        f"{i - 1}")
+                    c = caps[(o, i)]
+                if c > 0:
+                    pending.append(((o, i), cand, None, c))
+
+        # Per-(level,shard) candidate slices in global candidate order.
+        coords_l, strength_l, meta = [], [], []
+        for (o, i), cand, s, c in pending:
+            if s is None:
+                co, st = cand.coords, cand.strength
+            else:
+                co, st = cand.coords[s], cand.strength[s]
+            b = _bucket(c, co.shape[0])
+            coords_l.append(co[:b])
+            strength_l.append(st[:b])
+            meta.append(((o, i), c, b))
+
+        if not coords_l:
+            return Keypoints(
+                coords=np.zeros((0, 3)), octave=np.zeros(0, np.int32),
+                level=np.zeros(0, np.int32), sd=np.zeros(0),
+                strength=np.zeros(0), R=np.zeros((0, 3, 3), np.float32))
+
+        # Orientation per slice (async dispatch), then one batched get.
+        oris = []
+        for ((o, i), c, b), co in zip(meta, coords_l):
+            valid = jnp.arange(b) < c
+            oris.append(_orient_fn(plan, o, i, b)(gpyr[o][i], co, valid))
+        host = jax.device_get(list(zip(coords_l, strength_l, oris)))
+
+        out_c, out_s, out_acc, out_R, out_o, out_l, out_sd = \
+            [], [], [], [], [], [], []
+        for ((o, i), c, b), (co, st, ori) in zip(meta, host):
+            out_c.append(co[:c])
+            out_s.append(st[:c])
+            out_acc.append(ori.accepted[:c])
+            out_R.append(ori.R[:c])
+            out_o.append(np.full(c, o, np.int32))
+            out_l.append(np.full(c, i - 1, np.int32))
+            out_sd.append(np.full(c, plan.scales[o][i], np.float64))
+
+        coords = np.concatenate(out_c).astype(np.float64)
+        strength = np.concatenate(out_s).astype(np.float64)
+        accepted = np.concatenate(out_acc)
+        R = np.concatenate(out_R)
+        octave = np.concatenate(out_o)
+        level = np.concatenate(out_l)
+        sd = np.concatenate(out_sd)
+
+        idx = np.nonzero(accepted)[0]
+        n = len(idx)
+        strength_out = strength[:n] if self.stale_strength_compat \
+            else strength[idx]
+        return Keypoints(coords=coords[idx], octave=octave[idx],
+                         level=level[idx], sd=sd[idx], strength=strength_out,
+                         R=R[idx])
+
+    def extract_descriptors(self, kp):
+        from ..pipeline import SIFT3D
+        proxy = SIFT3D(self.params, self.stale_strength_compat)
+        proxy._plan, proxy._gpyr = self._plan, self._gpyr
+        proxy._input_shape = self._input_shape
+        return proxy.extract_descriptors(kp)

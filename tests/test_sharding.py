@@ -67,3 +67,52 @@ def test_mesh_validation():
         make_mesh({"b": 3}, jax.devices()[:8])
     m = make_mesh({"b": 2, "z": 4}, jax.devices()[:8])
     assert m.shape == {"b": 2, "z": 4}
+
+
+def test_sharded_detector_matches_single_device():
+    """Full z-sharded detection (halo-exchange pyramid, per-shard candidate
+    compaction) must reproduce the single-device detector exactly: same
+    keypoints in the same (reference) order."""
+    import sift3d_tpu as s3d
+    from sift3d_tpu.parallel import make_mesh
+    from sift3d_tpu.parallel.spatial import ShardedSIFT3D
+
+    vol = make_phantom(64)
+    kp1 = s3d.SIFT3D().detect_keypoints(vol)
+
+    mesh = make_mesh({"z": 4}, jax.devices()[:4])
+    det2 = ShardedSIFT3D(mesh=mesh)
+    kp2 = det2.detect_keypoints(vol)
+
+    assert len(kp1) == len(kp2)
+    assert np.array_equal(kp1.coords, kp2.coords)
+    assert np.array_equal(kp1.octave, kp2.octave)
+    assert np.abs(kp1.strength - kp2.strength).max() < 1e-6
+    assert np.abs(kp1.R - kp2.R).max() < 1e-4
+
+    d1 = s3d.SIFT3D()
+    # reuse the unsharded detector for descriptor reference
+    kp1b = d1.detect_keypoints(vol)
+    ref = d1.extract_descriptors(kp1b)
+    got = det2.extract_descriptors(kp2)
+    assert np.abs(ref.data - got.data).max() < 1e-4
+
+
+def test_sharded_octave_fallback():
+    """Octaves too small for the blur halo fall back to replicated compute."""
+    from sift3d_tpu.params import DetectorParams
+    from sift3d_tpu.pyramid import make_plan
+    from sift3d_tpu.parallel.spatial import octave_is_sharded
+
+    from sift3d_tpu.parallel.spatial import max_blur_halo
+
+    plan = make_plan((64, 64, 64), (1.0, 1.0, 1.0), DetectorParams())
+    # octave 0: halo 9 (widest kernel half-width 8 + boundary lerp)
+    assert max_blur_halo(plan, 0) == 9
+    assert not octave_is_sharded(plan, 0, 8)   # 64/8 = 8 < 9
+    assert octave_is_sharded(plan, 0, 4)       # 16 >= 9
+    # deeper octaves: the same kernels apply with tap spacing 1/2^o voxels,
+    # so the band shrinks with the octave
+    assert max_blur_halo(plan, 1) < max_blur_halo(plan, 0)
+    # the last octave (8 voxels, halo 2) cannot be sharded over 8 devices
+    assert not octave_is_sharded(plan, plan.num_octaves - 1, 8)
