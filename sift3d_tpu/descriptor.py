@@ -108,10 +108,11 @@ def _extract_one(level, coord, center, R, sd,
         bounds.append((lo, hi))
 
     mt = jnp.asarray(geometry.MT_MATRIX)        # [3, 60]
-    e2d = jnp.asarray(geometry.E_BARY_2D)       # [60, 12]
     kconst = jnp.asarray(geometry.K_CONST)      # [20]
+    face_idx = jnp.asarray(geometry.FACE_IDX)   # [20, 3] vertex bins
     eps = jnp.float32(params.bary_eps)
     iota20 = jnp.arange(20, dtype=jnp.int32)
+    iota12f = jnp.arange(ICOS_NVERT, dtype=jnp.float32)
 
     def chunk_hist(c):
         X, Y, Z = ixf[c], iyf[c], izf[c]
@@ -136,31 +137,45 @@ def _extract_one(level, coord, center, R, sd,
         w = jnp.exp(-0.5 * sq / (sigma * sigma))
         grot = jnp.einsum("ni,ij->nj", w[:, None] * g, R, precision=prec)
 
-        # Face selection: all 20 faces at once (see geometry module).
+        # Face selection: all 20 faces at once (see geometry module). The
+        # hit tests are made division-free by multiplying through by |det|
+        # (sign-corrected); only the selected face's barycentrics divide.
         F = jnp.einsum("ni,if->nf", grot, mt, precision=prec)  # [N, 60]
         dets, ynum, znum = F[:, :20], F[:, 20:40], F[:, 40:]
-        ys = ynum / dets
-        zs = znum / dets
-        xs = 1.0 - ys - zs
-        ks = kconst / dets
-        gsq = jnp.sum(grot * grot, axis=-1)
-        validf = ((jnp.abs(dets) >= eps) & (xs >= -eps) & (ys >= -eps)
-                  & (zs >= -eps) & (ks >= 0.0))
+        sgn = jnp.sign(dets)
+        adet = dets * sgn
+        neg_eps_adet = -eps * adet
+        ysn = ynum * sgn
+        zsn = znum * sgn
+        validf = ((adet >= eps) & (ysn >= neg_eps_adet)
+                  & (zsn >= neg_eps_adet)
+                  & (adet - ysn - zsn >= neg_eps_adet)
+                  & (kconst[None, :] * sgn >= 0.0))
         first = jnp.min(jnp.where(validf, iota20, 20), axis=-1)   # [N]
+        gsq = jnp.sum(grot * grot, axis=-1)
         anyf = (first < 20) & (gsq >= eps) & mask
-        sel = (iota20[None, :] == first[:, None]) & validf        # [N, 20]
-
-        bary = jnp.stack([
-            jnp.sum(jnp.where(sel, xs, 0.0), axis=-1),
-            jnp.sum(jnp.where(sel, ys, 0.0), axis=-1),
-            jnp.sum(jnp.where(sel, zs, 0.0), axis=-1)], axis=-1)  # [N, 3]
+        onehot = iota20[None, :] == jnp.minimum(first, 19)[:, None]
+        det_s = jnp.sum(jnp.where(onehot, dets, 0.0), axis=-1)
+        yn_s = jnp.sum(jnp.where(onehot, ynum, 0.0), axis=-1)
+        zn_s = jnp.sum(jnp.where(onehot, znum, 0.0), axis=-1)
+        inv = jnp.where(det_s != 0.0, 1.0 / det_s, 0.0)
+        ys = yn_s * inv
+        zs = zn_s * inv
+        xs = 1.0 - ys - zs
         mag = jnp.where(anyf, jnp.sqrt(gsq), 0.0)
 
-        # Vertex weights: [N,20] x [N,3] outer -> [N,60] @ [60,12].
-        w60 = (sel.astype(jnp.float32)[:, :, None]
-               * bary[:, None, :]).reshape(-1, 60)
-        B = jnp.einsum("nf,fv->nv", w60, e2d, precision=prec)     # [N, 12]
-        B = B * mag[:, None]
+        # Vertex indices of the selected face via a tiny [N,20]x[20,3]
+        # matmul against the (unswapped) vertex index table.
+        vidx = jnp.dot(onehot.astype(jnp.float32),
+                       face_idx.astype(jnp.float32),
+                       precision=prec)                     # [N, 3]
+        # Vertex weights: scatter bary to the 3 vertex bins via one-hot
+        # comparisons (pure VPU broadcasts).
+        baryw = jnp.stack([xs, ys, zs], axis=-1) * mag[:, None]
+        B = jnp.zeros((baryw.shape[0], ICOS_NVERT), jnp.float32)
+        for j in range(3):
+            B = B + baryw[:, j:j + 1] * (
+                vidx[:, j:j + 1] == iota12f[None, :]).astype(jnp.float32)
 
         # Trilinear spatial weights, 2-sparse over 4 bins per axis
         # (SIFT3D_desc_acc_interp, sift.c:1340-1363).
@@ -175,16 +190,15 @@ def _extract_one(level, coord, center, R, sd,
         Sy = sparse4(vbins[:, 1])
         Sz = sparse4(vbins[:, 2])
 
+        # hist[(cz,cy), (cx,v)] += sum_n (Sz x Sy)[n, 16] . (Sx x B)[n, 48]
+        ZY = (Sz[:, :, None] * Sy[:, None, :]).reshape(-1, nb * nb)
         P = (Sx[:, :, None] * B[:, None, :]).reshape(-1, nb * ICOS_NVERT)
-        Q = (Sy[:, :, None] * P[:, None, :]).reshape(
-            -1, nb * nb * ICOS_NVERT)
-        # hist[cz, cy, cx, v] += sum_n Sz[n, cz] * Q[n, cy, cx, v]
-        return jnp.einsum("nc,nq->cq", Sz, Q, precision=prec)
+        return jnp.einsum("nc,nq->cq", ZY, P, precision=prec)
 
     def body(carry, c):
         return carry + chunk_hist(c), None
 
-    hist0 = jnp.zeros((nb, nb * nb * ICOS_NVERT), jnp.float32)
+    hist0 = jnp.zeros((nb * nb, nb * ICOS_NVERT), jnp.float32)
     hist, _ = jax.lax.scan(body, hist0, jnp.arange(C))
     # [cz, cy, cx, v] -> flat hist index x + 4y + 16z, vertex minor
     # (DESC_MAT_GET_COL, sift.c:136-137; strides at sift.c:1314-1315).
@@ -204,8 +218,8 @@ def _normalize(hist: jnp.ndarray, params: DetectorParams) -> jnp.ndarray:
 def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
                         R: jnp.ndarray, valid: jnp.ndarray, sd,
                         octave: int, units: tuple[float, float, float],
-                        params: DetectorParams, kp_chunk: int = 8,
-                        vox_chunk: int = 2048,
+                        params: DetectorParams, kp_chunk: int = 16,
+                        vox_chunk: int = 8192,
                         centers: jnp.ndarray | None = None,
                         sd_max: float | None = None) -> DescriptorResult:
     """Descriptors for all keypoints of one pyramid level.
