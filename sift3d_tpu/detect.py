@@ -36,9 +36,11 @@ class LevelCandidates(NamedTuple):
 
 
 def default_capacity(nvox: int) -> int:
-    """Auto candidate capacity per level: generous fraction of the level's
-    voxels, bounded for memory."""
-    return int(min(16384, max(128, nvox // 64)))
+    """Auto candidate capacity per level. Extrema are sparse (well under
+    0.1% of voxels on real data); slot-resolution work in the compaction is
+    proportional to the capacity, so keep it tight — overflow is detected
+    and reported, and DetectorParams.kp_per_level overrides."""
+    return int(min(4096, max(128, nvox // 512)))
 
 
 def _shift(a: jnp.ndarray, dx: int, dy: int, dz: int) -> jnp.ndarray:

@@ -100,5 +100,5 @@ def test_cuboid_extrema_stricter():
 
 def test_default_capacity_bounds():
     assert default_capacity(8 ** 3) == 128
-    assert default_capacity(64 ** 3) == 4096
-    assert default_capacity(10 ** 9) == 16384
+    assert default_capacity(64 ** 3) == 512
+    assert default_capacity(10 ** 9) == 4096
