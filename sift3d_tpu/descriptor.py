@@ -205,6 +205,98 @@ def _extract_one(level, coord, center, R, sd,
     return hist.reshape(nb, nb, nb, ICOS_NVERT).reshape(-1, ICOS_NVERT)
 
 
+def _prep_window(level, coord, center, R, sd,
+                 units: tuple[float, float, float], extents, tile: int,
+                 params: DetectorParams):
+    """Per-keypoint prep for the Pallas histogram kernel: rotated weighted
+    gradients and spatial bins for the whole window, flattened and padded to
+    a tile multiple. Masked voxels have their gradient zeroed (their
+    contribution vanishes because the kernel scales by |grot|)."""
+    prec = jax.lax.Precision.HIGHEST
+    nb = NHIST_PER_DIM
+
+    sigma = sd * jnp.float32(params.desc_sig_fctr)
+    win_radius = jnp.float32(params.desc_rad_fctr) * sigma
+    desc_half_width = win_radius / jnp.float32(_SQRT2)
+    desc_bin_fctr = jnp.float32(1.0) / (
+        jnp.float32(2.0) * desc_half_width / jnp.float32(nb))
+
+    win, start = gather_window(level, coord, extents)
+    ux, uy, uz = (np.float32(u) for u in units)
+    inv_u = tuple(np.float32(1.0) / u for u in (ux, uy, uz))
+    gx = 0.5 * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) * inv_u[0]
+    gy = 0.5 * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) * inv_u[1]
+    gz = 0.5 * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) * inv_u[2]
+
+    ishape = tuple(g - 2 for g in extents)
+    cx, cy, cz = center[0], center[1], center[2]
+    n = level.shape
+    axes = [start[a] + 1 + jax.lax.broadcasted_iota(jnp.int32, ishape, a)
+            for a in range(3)]
+    mask = jnp.ones(ishape, bool)
+    for a, (c, u) in enumerate(zip((cx, cy, cz), (ux, uy, uz))):
+        lo = jnp.maximum(jnp.floor(c - win_radius / u), 1.0)
+        hi = jnp.minimum(jnp.ceil(c + win_radius / u),
+                         jnp.float32(n[a] - 2))
+        mask &= ((axes[a] >= lo.astype(jnp.int32))
+                 & (axes[a] <= hi.astype(jnp.int32)))
+
+    dx = (axes[0].astype(jnp.float32) - cx) * ux
+    dy = (axes[1].astype(jnp.float32) - cy) * uy
+    dz = (axes[2].astype(jnp.float32) - cz) * uz
+    sq = dx * dx + dy * dy + dz * dz
+    mask &= sq <= win_radius * win_radius
+
+    vim = jnp.stack([dx.ravel(), dy.ravel(), dz.ravel()], axis=-1)
+    vkp = jnp.einsum("ni,ij->nj", vim, R, precision=prec)
+    vbins = (vkp + desc_half_width) * desc_bin_fctr
+    mask = mask.ravel() & jnp.all((vbins >= 0.0) & (vbins < float(nb)),
+                                  axis=-1)
+
+    w = jnp.exp(-0.5 * sq.ravel() / (sigma * sigma))
+    g = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+    grot = jnp.einsum("ni,ij->nj", w[:, None] * g, R, precision=prec)
+    grot = jnp.where(mask[:, None], grot, 0.0)
+
+    M = grot.shape[0]
+    Mp = -(-M // tile) * tile
+    grot = jnp.pad(grot, ((0, Mp - M), (0, 0)))
+    vbins = jnp.pad(vbins, ((0, Mp - M), (0, 0)))
+    return grot.T, vbins.T          # [3, Mp] each
+
+
+def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
+                    kp_chunk: int, params: DetectorParams,
+                    interpret: bool = False):
+    """Histogram extraction through the Pallas kernel, kp_chunk keypoints
+    per call."""
+    from .ops.desc_kernel import desc_hist_pallas
+
+    K = coords.shape[0]
+    tile = 2048
+
+    def chunk_fn(args):
+        c_coords, c_centers, c_R, c_sd = args
+        grot, vbins = jax.vmap(
+            lambda co, ce, Rk, sdk: _prep_window(
+                level, co, ce, Rk, sdk, units, extents, tile, params))(
+            c_coords, c_centers, c_R, c_sd)
+        return desc_hist_pallas(grot, vbins, interpret=interpret)
+
+    if K <= kp_chunk:
+        hists = chunk_fn((coords, centers, R, sd_arr))
+    else:
+        assert K % kp_chunk == 0, (K, kp_chunk)
+        def reshape(x):
+            return x.reshape((K // kp_chunk, kp_chunk) + x.shape[1:])
+        out = jax.lax.map(chunk_fn, (reshape(coords), reshape(centers),
+                                     reshape(R), reshape(sd_arr)))
+        hists = out.reshape(K, *out.shape[2:])
+    nb = NHIST_PER_DIM
+    return hists.reshape(K, nb, nb, nb, ICOS_NVERT).reshape(
+        K, nb ** 3, ICOS_NVERT)
+
+
 def _normalize(hist: jnp.ndarray, params: DetectorParams) -> jnp.ndarray:
     """L2-normalize, truncate, renormalize (sift.c:1402-1429, 1508-1526)."""
     def norm1(h):
@@ -221,7 +313,8 @@ def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
                         params: DetectorParams, kp_chunk: int = 8,
                         vox_chunk: int = 65536,
                         centers: jnp.ndarray | None = None,
-                        sd_max: float | None = None) -> DescriptorResult:
+                        sd_max: float | None = None,
+                        use_pallas: bool | None = None) -> DescriptorResult:
     """Descriptors for all keypoints of one pyramid level.
 
     coords i32[K,3] integer gather anchors, R f32[K,3,3]; sd is the level's
@@ -244,12 +337,18 @@ def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
     sd_arr = (jnp.full((K,), jnp.float32(sd)) if np.isscalar(sd)
               else jnp.asarray(sd, jnp.float32))
 
-    def one(args):
-        coord, center, Rk, sd_k = args
-        return _extract_one(level, coord, center, Rk, sd_k, units, extents,
-                            vox_chunk, params)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        hists = _extract_pallas(level, coords, centers, R, sd_arr, units,
+                                extents, kp_chunk, params)
+    else:
+        def one(args):
+            coord, center, Rk, sd_k = args
+            return _extract_one(level, coord, center, Rk, sd_k, units,
+                                extents, vox_chunk, params)
 
-    hists = chunked_vmap(one, (coords, centers, R, sd_arr), kp_chunk)
+        hists = chunked_vmap(one, (coords, centers, R, sd_arr), kp_chunk)
     desc = jax.vmap(lambda h: _normalize(h, params))(hists)
     desc = jnp.where(valid[:, None, None], desc, 0.0)
     desc = desc.reshape(coords.shape[0], -1)
