@@ -151,6 +151,35 @@ def _extract_fn_ext(plan: PyramidPlan, octave: int, dog_idx: int,
     return run
 
 
+@functools.lru_cache(maxsize=16)
+def _detect_batch_fn(plan: PyramidPlan, batch: int):
+    """Batched detection: one compiled program for B volumes (vmap). Shared
+    by detect_keypoints_batch; orientation runs per volume afterwards
+    (per-level jits are cached across volumes)."""
+    run, keys, caps = _detect_fn(plan)
+
+    # re-trace the single-volume body under vmap (sharing _detect_fn's jit
+    # cache is not possible across vmap, but the plan/caps logic is)
+    params = plan.params
+
+    @jax.jit
+    def run_batch(data):
+        def one(vol):
+            x = scale_to_unit(vol)
+            gpyr = build_gpyr(x, plan)
+            dog = build_dog(gpyr)
+            out = []
+            for o, i in keys:
+                cand = detect_extrema_level(
+                    dog[o][i - 1], dog[o][i], dog[o][i + 1], params,
+                    caps[(o, i)])
+                out.append(cand)
+            return gpyr, out
+        return jax.vmap(one)(data)
+
+    return run_batch, keys, caps
+
+
 class SIFT3D:
     """SIFT3D detector + descriptor extractor (TPU-native).
 
@@ -182,7 +211,61 @@ class SIFT3D:
         # sit behind a high-latency link — never transfer per level).
         counts = jax.device_get(
             jnp.stack([c.count for c, _ in per_level])).tolist()
+        return self._assemble(plan, keys, caps, per_level, counts,
+                              lambda o, i: gpyr[o][i])
 
+    def detect_keypoints_batch(self, vols, units=(1.0, 1.0, 1.0)):
+        """Detect keypoints for a batch of same-shape volumes [B, nx, ny,
+        nz] with one compiled program (per-volume orientation dispatches
+        share cached jits). Returns a list of Keypoints. The detector's
+        cached pyramid afterwards is the *batch* pyramid; use
+        extract_descriptors_batch for descriptors."""
+        if (self.params.refine_subvoxel
+                or self.params.edge_thresh is not None):
+            raise NotImplementedError(
+                "extensions are not supported in the batched path yet")
+        vols = jnp.asarray(vols, jnp.float32)
+        B = vols.shape[0]
+        plan = make_plan(vols.shape[1:], units, self.params)
+        run, keys, caps = _detect_batch_fn(plan, B)
+        gpyr_b, per_level_b = run(vols)
+        self._plan, self._gpyr = plan, gpyr_b
+        self._input_shape = tuple(vols.shape[1:])
+        self._batched = True
+
+        counts_b = jax.device_get(
+            jnp.stack([c.count for c in per_level_b]))  # [nkeys, B]
+        out = []
+        for b in range(B):
+            per_level = [
+                (LevelCandidates(c.coords[b], c.strength[b], c.valid[b],
+                                 c.count[b]), None)
+                for c in per_level_b]
+            counts = [int(counts_b[k, b]) for k in range(len(keys))]
+            out.append(self._assemble(
+                plan, keys, caps, per_level, counts,
+                lambda o, i, b=b: gpyr_b[o][b, i]))
+        return out
+
+    def extract_descriptors_batch(self, kps) -> list[Descriptors]:
+        """Descriptors for the keypoint lists of a prior
+        detect_keypoints_batch call."""
+        out = []
+        for b, kp in enumerate(kps):
+            if len(kp) == 0:
+                out.append(Descriptors(
+                    xyz=np.zeros((0, 3), np.float32),
+                    sd=np.zeros(0, np.float32),
+                    data=np.zeros((0, DESC_NUMEL), np.float32)))
+                continue
+            proxy = SIFT3D(self.params, self.stale_strength_compat)
+            proxy._plan = self._plan
+            proxy._input_shape = self._input_shape
+            proxy._gpyr = [g[b] for g in self._gpyr]
+            out.append(proxy.extract_descriptors(kp))
+        return out
+
+    def _assemble(self, plan, keys, caps, per_level, counts, level_getter):
         extensions = (self.params.refine_subvoxel
                       or self.params.edge_thresh is not None)
         L = self.params.num_kp_levels
@@ -209,12 +292,13 @@ class SIFT3D:
                     ref.ds[:b] / jnp.float32(L))
                 valid_b = cand.valid[:b] & ref.edge_ok[:b]
                 ori = _orient_fn_ext(plan, o, i, b)(
-                    gpyr[o][i], cand.coords[:b], valid_b, centers, sd_arr)
+                    level_getter(o, i), cand.coords[:b], valid_b, centers,
+                    sd_arr)
                 payload = (centers, cand.strength[:b], ori.R, ori.accepted,
                            sd_arr)
             else:
                 ori = _orient_fn(plan, o, i, b)(
-                    gpyr[o][i], cand.coords[:b], cand.valid[:b])
+                    level_getter(o, i), cand.coords[:b], cand.valid[:b])
                 payload = (cand.coords[:b], cand.strength[:b], ori.R,
                            ori.accepted, None)
             pending.append((o, i, c, b, payload))
