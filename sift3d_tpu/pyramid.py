@@ -24,6 +24,7 @@ Reference semantics reproduced (citations into /root/reference):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Sequence
 
 import jax
@@ -153,13 +154,11 @@ def downsample_2x(vol: jnp.ndarray) -> jnp.ndarray:
     return vol[: 2 * nx : 2, : 2 * ny : 2, : 2 * nz : 2]
 
 
-def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
-    """Gaussian scale-space pyramid.
-
-    Returns one stacked array per octave with shape
-    [num_gpyr_levels, nx_o, ny_o, nz_o]; stacked index i corresponds to raw
-    level s = i + first_level.
-    """
+def build_gpyr_sequential(vol: jnp.ndarray,
+                          plan: PyramidPlan) -> list[jnp.ndarray]:
+    """Gaussian scale-space pyramid, one incremental blur per level (the
+    reference's exact program order). Used by the sharded path, whose halo
+    widths are per-pass."""
     params = plan.params
     L = plan.num_gpyr_levels
     octaves = []
@@ -179,6 +178,69 @@ def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
             Ws = plan.conv_matrices(o, plan.level_taps[i])
             levels.append(blur(levels[i - 1], Ws, params))
         octaves.append(jnp.stack(levels))
+    return octaves
+
+
+@functools.lru_cache(maxsize=64)
+def _composed_matrices(plan: PyramidPlan, octave: int):
+    """Per-axis composed blur operators for one octave.
+
+    Each incremental blur is a banded matrix per axis, and separable passes
+    along different axes commute, so level i of an octave is
+        (Wx_i ... Wx_1) x (Wy_i ... Wy_1) x (Wz_i ... Wz_1) @ src.
+    Composing on the host (float64 accumulate) turns an octave's whole level
+    chain into three batched matmuls. Octave 0 folds the initial
+    sigma_n -> sigma(first level) blur into every product; deeper octaves
+    start at the downsampled source (level 0 = identity, skipped here).
+
+    Returns [n_levels_out, n, n] float32 per axis; for octave 0 the leading
+    output level is stacked level 0, for others stacked level 1.
+    """
+    L = plan.num_gpyr_levels
+    out_per_axis = []
+    for a in range(3):
+        prods = []
+        if octave == 0:
+            acc = np.asarray(plan.conv_matrices(0, plan.first_taps)[a],
+                             np.float64)
+            prods.append(acc)
+        else:
+            acc = None
+        for i in range(1, L):
+            W = np.asarray(plan.conv_matrices(octave, plan.level_taps[i])[a],
+                           np.float64)
+            acc = W if acc is None else W @ acc
+            prods.append(acc)
+        out_per_axis.append(np.stack(prods).astype(np.float32))
+    return out_per_axis
+
+
+def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
+    """Gaussian scale-space pyramid.
+
+    Returns one stacked array per octave with shape
+    [num_gpyr_levels, nx_o, ny_o, nz_o]; stacked index i corresponds to raw
+    level s = i + first_level.
+
+    Every level of an octave is computed directly from the octave source
+    through composed per-axis operators (see _composed_matrices): three
+    batched MXU matmuls per octave instead of 3 * num_levels sequential
+    passes.
+    """
+    params = plan.params
+    prec = _precision(params)
+    L = plan.num_gpyr_levels
+    octaves = []
+    for o in range(plan.num_octaves):
+        src = vol if o == 0 else downsample_2x(octaves[o - 1][L - 3])
+        Px, Py, Pz = (jnp.asarray(P) for P in _composed_matrices(plan, o))
+        lv = jnp.einsum("lab,byz->layz", Px, src, precision=prec)
+        lv = jnp.einsum("lab,lxbz->lxaz", Py, lv, precision=prec)
+        lv = jnp.einsum("lab,lxyb->lxya", Pz, lv, precision=prec)
+        if o == 0:
+            octaves.append(lv)
+        else:
+            octaves.append(jnp.concatenate([src[None], lv], axis=0))
     return octaves
 
 
