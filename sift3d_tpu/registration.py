@@ -108,18 +108,22 @@ def _ransac_jit(src, dst, valid, key, num_iter: int, err_thresh: float):
     best = jnp.argmax(counts)
     best_inl = inl[best]
 
-    # Refit on the winning consensus set via masked normal equations.
-    w = best_inl.astype(jnp.float32)[:, None]
-    Xw = X * w
-    AtA = Xw.T @ X + 1e-8 * jnp.eye(4, dtype=jnp.float32)
-    AtY = Xw.T @ dst
-    A_refit = jnp.linalg.solve(AtA, AtY)               # [4, 3]
+    # Iteratively refit on the consensus set via masked normal equations:
+    # each refit tightens the model, which can admit more inliers.
+    def refit(inl, _):
+        w = inl.astype(jnp.float32)[:, None]
+        Xw = X * w
+        AtA = Xw.T @ X + 1e-8 * jnp.eye(4, dtype=jnp.float32)
+        AtY = Xw.T @ dst
+        A_r = jnp.linalg.solve(AtA, AtY)               # [4, 3]
+        err2f = jnp.sum((X @ A_r - dst) ** 2, axis=-1)
+        return (err2f < thr2) & valid, A_r
 
-    # Final inlier count under the refit model.
-    pred2 = X @ A_refit
-    err2f = jnp.sum((pred2 - dst) ** 2, axis=-1)
-    final_inl = (err2f < thr2) & valid
-    return A_refit.T, jnp.sum(final_inl), final_inl   # A: [3, 4]
+    inl_cur = best_inl
+    A_refit = None
+    for _ in range(3):
+        inl_cur, A_refit = refit(inl_cur, None)
+    return A_refit.T, jnp.sum(inl_cur), inl_cur        # A: [3, 4]
 
 
 @dataclasses.dataclass
