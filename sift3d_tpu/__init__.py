@@ -14,14 +14,17 @@ Quick start::
     desc = det.extract_descriptors(kp)
 """
 
+from .api import detect_and_extract, detect_keypoints, register_sift3d
 from .keypoints import Descriptors, Keypoints
 from .params import DESC_NUMEL, DetectorParams
 from .pipeline import SIFT3D
 from .volume import Volume
+from . import io
 
 __all__ = [
     "SIFT3D", "DetectorParams", "Volume", "Keypoints", "Descriptors",
-    "DESC_NUMEL",
+    "DESC_NUMEL", "detect_keypoints", "detect_and_extract",
+    "register_sift3d", "io",
 ]
 
 __version__ = "0.1.0"
