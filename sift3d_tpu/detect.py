@@ -105,8 +105,24 @@ def compact_candidates(mask: jnp.ndarray, pcur: jnp.ndarray,
     and rank-resolved. Everything after the single full pass costs
     O(capacity * block).
     """
+    flat_idx, valid, count = compact_flat(mask.transpose(2, 1, 0).ravel(),
+                                          capacity)
+    mx, my, mz = pcur.shape
+    zz = flat_idx // (my * mx)
+    rem = flat_idx - zz * (my * mx)
+    yy = rem // mx
+    xx = rem - yy * mx
+    coords = jnp.where(valid[:, None],
+                       jnp.stack([xx + 1, yy + 1, zz + 1], axis=-1), 0)
+    strength = jnp.where(
+        valid, jnp.abs(pcur)[xx, yy, zz], 0.0).astype(jnp.float32)
+    return LevelCandidates(coords, strength, valid, count)
+
+
+def compact_flat(flat_mask: jnp.ndarray, capacity: int):
+    """Indices of the first `capacity` set bits of flat_mask, in order.
+    Returns (flat_idx i32[capacity], valid bool[capacity], count i32[])."""
     C = 128  # block length, one vector lane
-    flat_mask = mask.transpose(2, 1, 0).ravel()
     m = flat_mask.shape[0]
     B = -(-m // C)
     pad = B * C - m
@@ -124,16 +140,76 @@ def compact_candidates(mask: jnp.ndarray, pcur: jnp.ndarray,
     rcum = jnp.cumsum(rows.astype(jnp.int32), axis=1)
     within = jnp.argmax(rows & (rcum == rank[:, None] + 1),
                         axis=1).astype(jnp.int32)
-    flat_idx = blk_c * C + within                      # index in (z,y,x) flat
+    flat_idx = blk_c * C + within
+    valid = j < jnp.minimum(count, capacity)
+    return flat_idx, valid, count
 
-    mx, my, mz = pcur.shape
-    zz = flat_idx // (my * mx)
-    rem = flat_idx - zz * (my * mx)
+
+class OctaveCandidates(NamedTuple):
+    """Fixed-capacity extrema candidates for one octave (all keypoint levels
+    jointly). Candidate order is (level s, then z, y, x) — exactly the
+    reference's per-octave scan order (PYR_LOOP s inner, sift.c:814)."""
+    coords: jnp.ndarray      # i32[capacity, 3]
+    level: jnp.ndarray       # i32[capacity] raw level s
+    strength: jnp.ndarray    # f32[capacity]
+    valid: jnp.ndarray       # bool[capacity]
+    counts: jnp.ndarray      # i32[num_kp_levels] true count per level
+
+
+def detect_extrema_octave(dog_oct: jnp.ndarray, params: DetectorParams,
+                          capacity: int) -> OctaveCandidates:
+    """Extrema for all keypoint levels of one octave in one fused pass.
+
+    dog_oct: [num_dog_levels, nx, ny, nz]. Equivalent to running
+    detect_extrema_level per level triple; the stacked formulation runs the
+    stencil, the per-level max reductions, and one joint compaction instead
+    of 3x the kernels.
+    """
+    Ld = dog_oct.shape[0]
+    nl = Ld - 2                      # keypoint levels
+    nx, ny, nz = dog_oct.shape[1:]
+
+    cur = dog_oct[1:Ld - 1]          # [nl, ...]
+    dogmax = jnp.max(jnp.abs(cur), axis=(1, 2, 3))
+    peak = (jnp.float32(params.peak_thresh) * dogmax)[:, None, None, None]
+
+    def sh(a, dx, dy, dz):
+        return a[:, 1 + dx: nx - 1 + dx, 1 + dy: ny - 1 + dy,
+                 1 + dz: nz - 1 + dz]
+
+    pcur = sh(cur, 0, 0, 0)
+    prev = dog_oct[0:Ld - 2]
+    nxt = dog_oct[2:Ld]
+    if params.cuboid_extrema:
+        cur_n = [sh(cur, *off) for off in _CUBE_OFFSETS if off != (0, 0, 0)]
+        prev_n = [sh(prev, *off) for off in _CUBE_OFFSETS]
+        next_n = [sh(nxt, *off) for off in _CUBE_OFFSETS]
+    else:
+        cur_n = [sh(cur, *off) for off in _FACE_OFFSETS]
+        prev_n = [sh(prev, 0, 0, 0)]
+        next_n = [sh(nxt, 0, 0, 0)]
+    is_max = jnp.ones_like(pcur, bool)
+    is_min = jnp.ones_like(pcur, bool)
+    for nb in cur_n + prev_n + next_n:
+        is_max &= pcur > nb
+        is_min &= pcur < nb
+    mask = ((pcur > peak) | (pcur < -peak)) & (is_max | is_min)
+
+    counts = jnp.sum(mask, axis=(1, 2, 3), dtype=jnp.int32)      # [nl]
+
+    # Joint compaction in (level, z, y, x) order.
+    mx, my, mz = nx - 2, ny - 2, nz - 2
+    flat = mask.transpose(0, 3, 2, 1).ravel()    # (l, z, y, x) order
+    flat_idx, valid, _ = compact_flat(flat, capacity)
+    lvl = flat_idx // (mz * my * mx)
+    rem = flat_idx - lvl * (mz * my * mx)
+    zz = rem // (my * mx)
+    rem = rem - zz * (my * mx)
     yy = rem // mx
     xx = rem - yy * mx
-    valid = j < jnp.minimum(count, capacity)
+    strength = jnp.where(
+        valid, jnp.abs(pcur)[lvl, xx, yy, zz], 0.0).astype(jnp.float32)
     coords = jnp.where(valid[:, None],
                        jnp.stack([xx + 1, yy + 1, zz + 1], axis=-1), 0)
-    strength = jnp.where(
-        valid, jnp.abs(pcur)[xx, yy, zz], 0.0).astype(jnp.float32)
-    return LevelCandidates(coords, strength, valid, count)
+    lvl = jnp.where(valid, lvl, 0).astype(jnp.int32)
+    return OctaveCandidates(coords, lvl, strength, valid, counts)

@@ -49,15 +49,21 @@ def _level_keys(plan: PyramidPlan):
 
 @functools.lru_cache(maxsize=32)
 def _detect_fn(plan: PyramidPlan):
-    """Pyramid + DoG + extrema candidates (no orientation — that stage is
-    bucketed to the actual candidate counts, see _orient_fn)."""
+    """Pyramid + DoG + extrema candidates, one fused pass per octave (no
+    orientation — that stage is bucketed to the actual candidate counts, see
+    _orient_fn). Octave candidate stores keep the reference's global
+    candidate order (levels are the inner loop of the reference's octave
+    scan)."""
+    from .detect import detect_extrema_octave
+
     params = plan.params
-    keys = _level_keys(plan)
+    nl = params.num_kp_levels
     caps = {}
-    for o, i in keys:
+    for o in range(plan.num_octaves):
         nvox = int(np.prod(plan.octave_dims[o]))
-        caps[(o, i)] = (params.kp_per_level if params.kp_per_level
-                        else default_capacity(nvox))
+        per_level = (params.kp_per_level if params.kp_per_level
+                     else default_capacity(nvox))
+        caps[o] = nl * per_level
 
     extensions = params.refine_subvoxel or params.edge_thresh is not None
 
@@ -65,23 +71,20 @@ def _detect_fn(plan: PyramidPlan):
     def run(data):
         x = scale_to_unit(data)
         gpyr = build_gpyr(x, plan)
-        dog = build_dog(gpyr)
         out = []
-        for o, i in keys:
-            cand = detect_extrema_level(
-                dog[o][i - 1], dog[o][i], dog[o][i + 1], params,
-                caps[(o, i)])
+        for o in range(plan.num_octaves):
+            dog_oct = gpyr[o][:-1] - gpyr[o][1:]
+            cand = detect_extrema_octave(dog_oct, params, caps[o])
             if extensions:
-                from .refinement import refine_candidates
-                ref = refine_candidates(dog[o][i - 1], dog[o][i],
-                                        dog[o][i + 1], cand.coords,
-                                        cand.valid, params)
+                from .refinement import refine_candidates_octave
+                ref = refine_candidates_octave(
+                    dog_oct, cand.coords, cand.level, cand.valid, params)
             else:
                 ref = None
             out.append((cand, ref))
         return gpyr, out
 
-    return run, keys, caps
+    return run, caps
 
 
 @functools.lru_cache(maxsize=256)
@@ -120,6 +123,30 @@ def _bucket(n: int, cap: int, minimum: int = 32) -> int:
     return min(cap, max(minimum, 1 << (max(n, 1) - 1).bit_length()))
 
 
+@functools.lru_cache(maxsize=64)
+def _seg_slice_fn(bucket: int, with_ref: bool):
+    """Jitted extraction of a level segment [start, start+bucket) from an
+    octave candidate store (padded so the slice never clamps)."""
+    @jax.jit
+    def run(coords, strength, start, ref_off=None, ref_ds=None,
+            ref_edge=None):
+        co = jax.lax.dynamic_slice(
+            jnp.pad(coords, ((0, bucket), (0, 0))), (start, 0), (bucket, 3))
+        st = jax.lax.dynamic_slice(
+            jnp.pad(strength, (0, bucket)), (start,), (bucket,))
+        if with_ref:
+            ro = jax.lax.dynamic_slice(
+                jnp.pad(ref_off, ((0, bucket), (0, 0))), (start, 0),
+                (bucket, 3))
+            rd = jax.lax.dynamic_slice(
+                jnp.pad(ref_ds, (0, bucket)), (start,), (bucket,))
+            re = jax.lax.dynamic_slice(
+                jnp.pad(ref_edge, (0, bucket)), (start,), (bucket,))
+            return co, st, ro, rd, re
+        return co, st
+    return run
+
+
 @functools.lru_cache(maxsize=256)
 def _extract_fn(plan: PyramidPlan, octave: int, dog_idx: int, bucket: int):
     params = plan.params
@@ -156,10 +183,9 @@ def _detect_batch_fn(plan: PyramidPlan, batch: int):
     """Batched detection: one compiled program for B volumes (vmap). Shared
     by detect_keypoints_batch; orientation runs per volume afterwards
     (per-level jits are cached across volumes)."""
-    run, keys, caps = _detect_fn(plan)
+    from .detect import detect_extrema_octave
 
-    # re-trace the single-volume body under vmap (sharing _detect_fn's jit
-    # cache is not possible across vmap, but the plan/caps logic is)
+    _, caps = _detect_fn(plan)
     params = plan.params
 
     @jax.jit
@@ -167,17 +193,14 @@ def _detect_batch_fn(plan: PyramidPlan, batch: int):
         def one(vol):
             x = scale_to_unit(vol)
             gpyr = build_gpyr(x, plan)
-            dog = build_dog(gpyr)
             out = []
-            for o, i in keys:
-                cand = detect_extrema_level(
-                    dog[o][i - 1], dog[o][i], dog[o][i + 1], params,
-                    caps[(o, i)])
-                out.append(cand)
+            for o in range(plan.num_octaves):
+                dog_oct = gpyr[o][:-1] - gpyr[o][1:]
+                out.append(detect_extrema_octave(dog_oct, params, caps[o]))
             return gpyr, out
         return jax.vmap(one)(data)
 
-    return run_batch, keys, caps
+    return run_batch, caps
 
 
 class SIFT3D:
@@ -202,16 +225,16 @@ class SIFT3D:
     def detect_keypoints(self, vol) -> Keypoints:
         vol = as_volume(vol)
         plan = make_plan(vol.shape, vol.units, self.params)
-        run, keys, caps = _detect_fn(plan)
-        gpyr, per_level = run(vol.data)
+        run, caps = _detect_fn(plan)
+        gpyr, per_oct = run(vol.data)
         self._plan, self._gpyr = plan, gpyr
         self._input_shape = vol.shape
 
-        # One small device->host sync for all level counts (the device may
-        # sit behind a high-latency link — never transfer per level).
+        # One small device->host sync for all per-level counts (the device
+        # may sit behind a high-latency link — never transfer per level).
         counts = jax.device_get(
-            jnp.stack([c.count for c, _ in per_level])).tolist()
-        return self._assemble(plan, keys, caps, per_level, counts,
+            jnp.stack([c.counts for c, _ in per_oct]))  # [n_oct, nl]
+        return self._assemble(plan, caps, per_oct, counts,
                               lambda o, i: gpyr[o][i])
 
     def detect_keypoints_batch(self, vols, units=(1.0, 1.0, 1.0)):
@@ -227,23 +250,23 @@ class SIFT3D:
         vols = jnp.asarray(vols, jnp.float32)
         B = vols.shape[0]
         plan = make_plan(vols.shape[1:], units, self.params)
-        run, keys, caps = _detect_batch_fn(plan, B)
-        gpyr_b, per_level_b = run(vols)
+        run, caps = _detect_batch_fn(plan, B)
+        gpyr_b, per_oct_b = run(vols)
         self._plan, self._gpyr = plan, gpyr_b
         self._input_shape = tuple(vols.shape[1:])
         self._batched = True
 
+        from .detect import OctaveCandidates
         counts_b = jax.device_get(
-            jnp.stack([c.count for c in per_level_b]))  # [nkeys, B]
+            jnp.stack([c.counts for c in per_oct_b]))  # [n_oct, B, nl]
         out = []
         for b in range(B):
-            per_level = [
-                (LevelCandidates(c.coords[b], c.strength[b], c.valid[b],
-                                 c.count[b]), None)
-                for c in per_level_b]
-            counts = [int(counts_b[k, b]) for k in range(len(keys))]
+            per_oct = [
+                (OctaveCandidates(c.coords[b], c.level[b], c.strength[b],
+                                  c.valid[b], c.counts[b]), None)
+                for c in per_oct_b]
             out.append(self._assemble(
-                plan, keys, caps, per_level, counts,
+                plan, caps, per_oct, counts_b[:, b],
                 lambda o, i, b=b: gpyr_b[o][b, i]))
         return out
 
@@ -265,43 +288,54 @@ class SIFT3D:
             out.append(proxy.extract_descriptors(kp))
         return out
 
-    def _assemble(self, plan, keys, caps, per_level, counts, level_getter):
+    def _assemble(self, plan, caps, per_oct, counts, level_getter):
         extensions = (self.params.refine_subvoxel
                       or self.params.edge_thresh is not None)
-        L = self.params.num_kp_levels
+        nl = self.params.num_kp_levels
 
-        # Dispatch orientation per level (async), bucketed to the candidate
-        # count. Bucket quantization keeps the set of slice/program shapes
-        # small so compilations amortize across volumes.
-        pending = []  # (o, i, c, bucket, device pytree)
-        for (o, i), (cand, ref), c in zip(keys, per_level, counts):
-            cap = caps[(o, i)]
-            if c > cap:
+        # Dispatch orientation per level segment (async), bucketed to the
+        # candidate count. Bucket quantization keeps the set of
+        # slice/program shapes small so compilations amortize across
+        # volumes.
+        pending = []  # (o, i, avail, bucket, device pytree)
+        for o, (cand, ref) in enumerate(per_oct):
+            cap = caps[o]
+            total = int(np.sum(counts[o]))
+            if total > cap:
                 warnings.warn(
-                    f"keypoint capacity overflow at octave {o} level {i - 1}:"
-                    f" {c} candidates > capacity {cap}; increase "
+                    f"keypoint capacity overflow at octave {o}: {total} "
+                    f"candidates > capacity {cap}; increase "
                     f"DetectorParams.kp_per_level for exact results")
-                c = cap
-            if c == 0:
-                continue
-            b = _bucket(c, cap)
-            if extensions:
-                centers = (cand.coords[:b].astype(jnp.float32)
-                           + ref.offset[:b])
-                sd_arr = jnp.float32(plan.scales[o][i]) * jnp.exp2(
-                    ref.ds[:b] / jnp.float32(L))
-                valid_b = cand.valid[:b] & ref.edge_ok[:b]
-                ori = _orient_fn_ext(plan, o, i, b)(
-                    level_getter(o, i), cand.coords[:b], valid_b, centers,
-                    sd_arr)
-                payload = (centers, cand.strength[:b], ori.R, ori.accepted,
-                           sd_arr)
-            else:
-                ori = _orient_fn(plan, o, i, b)(
-                    level_getter(o, i), cand.coords[:b], cand.valid[:b])
-                payload = (cand.coords[:b], cand.strength[:b], ori.R,
-                           ori.accepted, None)
-            pending.append((o, i, c, b, payload))
+            start = 0
+            for li in range(nl):
+                c = int(counts[o][li])
+                avail = max(0, min(c, cap - start))
+                if avail == 0:
+                    start += c
+                    continue
+                i = li + 1  # dog stacked index (raw level s = li)
+                b = _bucket(avail, cap)
+                if extensions:
+                    co, st, ro, rd, re = _seg_slice_fn(b, True)(
+                        cand.coords, cand.strength, start, ref.offset,
+                        ref.ds, ref.edge_ok)
+                    seg_valid = jnp.arange(b) < avail
+                    centers = co.astype(jnp.float32) + ro
+                    sd_arr = jnp.float32(plan.scales[o][i]) * jnp.exp2(
+                        rd / jnp.float32(nl))
+                    ori = _orient_fn_ext(plan, o, i, b)(
+                        level_getter(o, i), co, seg_valid & re, centers,
+                        sd_arr)
+                    payload = (centers, st, ori.R, ori.accepted, sd_arr)
+                else:
+                    co, st = _seg_slice_fn(b, False)(
+                        cand.coords, cand.strength, start)
+                    seg_valid = jnp.arange(b) < avail
+                    ori = _orient_fn(plan, o, i, b)(
+                        level_getter(o, i), co, seg_valid)
+                    payload = (co, st, ori.R, ori.accepted, None)
+                pending.append((o, i, avail, b, payload))
+                start += c
 
         if not pending:
             return Keypoints(

@@ -45,8 +45,30 @@ def _gather_neighborhood(level, coords):
 def refine_candidates(prev, cur, next_, coords, valid,
                       params: DetectorParams) -> RefinementResult:
     """Refine extrema candidates on one DoG level triple."""
-    K = coords.shape[0]
     nb = _gather_neighborhood(cur, coords)         # [K, 3, 3, 3]
+
+    def center(level):
+        return jax.vmap(lambda c: level[c[0], c[1], c[2]])(coords)
+    return _refine_core(nb, center(prev), center(next_), valid, params)
+
+
+def refine_candidates_octave(dog_oct, coords, lvl, valid,
+                             params: DetectorParams) -> RefinementResult:
+    """Refinement for an octave-fused candidate store: dog_oct
+    [num_dog_levels, nx, ny, nz], candidates on raw level lvl (DoG stacked
+    index lvl + 1)."""
+    def gather(c, l):
+        return jax.lax.dynamic_slice(
+            dog_oct, (l, c[0] - 1, c[1] - 1, c[2] - 1), (3, 3, 3, 3))
+    nb4 = jax.vmap(gather)(coords, lvl)            # [K, 3(level), 3, 3, 3]
+    return _refine_core(nb4[:, 1], nb4[:, 0, 1, 1, 1], nb4[:, 2, 1, 1, 1],
+                        valid, params)
+
+
+def _refine_core(nb, dp, dn, valid, params: DetectorParams):
+    """Shared math: nb [K,3,3,3] = cur-level neighborhood; dp/dn [K] =
+    center values of the prev/next DoG levels."""
+    K = nb.shape[0]
     c0 = nb[:, 1, 1, 1]
 
     # Gradient (central differences).
@@ -93,10 +115,6 @@ def refine_candidates(prev, cur, next_, coords, valid,
         off = jnp.clip(jnp.nan_to_num(off), -1.0, 1.0)
 
         # Scale axis: independent 1-D quadratic through (prev, cur, next).
-        def center(level):
-            return jax.vmap(
-                lambda c: level[c[0], c[1], c[2]])(coords)
-        dp, dn = center(prev), center(next_)
         gs = 0.5 * (dn - dp)
         hss = dn - 2 * c0 + dp
         ds = jnp.where(jnp.abs(hss) > 1e-20, -gs / hss, 0.0)
