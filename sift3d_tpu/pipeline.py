@@ -32,19 +32,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .descriptor import extract_descriptors as _extract_level
-from .detect import LevelCandidates, default_capacity, detect_extrema_level
+from .detect import default_capacity
 from .keypoints import Descriptors, Keypoints
 from .orientation import assign_orientations
 from .params import DESC_NUMEL, DetectorParams
-from .pyramid import PyramidPlan, build_dog, build_gpyr, make_plan, \
-    scale_to_unit
+from .pyramid import PyramidPlan, build_gpyr, make_plan, scale_to_unit
 from .volume import Volume, as_volume
-
-
-def _level_keys(plan: PyramidPlan):
-    """(octave, stacked dog index) pairs in the reference's scan order."""
-    return [(o, i) for o in range(plan.num_octaves)
-            for i in range(1, plan.params.num_dog_levels - 1)]
 
 
 @functools.lru_cache(maxsize=32)
