@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .params import DetectorParams
-from .windows import chunked_vmap, gather_window, window_extent
+from .windows import chunked_vmap, gather_window, gather_window_leveled, \
+    window_extent
 
 
 class OrientationResult(NamedTuple):
@@ -38,15 +39,20 @@ class OrientationResult(NamedTuple):
 
 
 def _window_moments(level, coord, center, sd, units, extents,
-                    params: DetectorParams):
+                    params: DetectorParams, lvl=None):
     """Structure tensor A[3,3] and mean gradient [3] for one keypoint.
 
     coord: i32[3] gather anchor; center: f32[3] true (possibly fractional)
-    window center; sd: f32[] keypoint scale.
+    window center; sd: f32[] keypoint scale. When `lvl` is given, `level` is
+    a stacked [L, nx, ny, nz] array and the window gathers from level lvl.
     """
     sigma = jnp.float32(params.ori_sig_fctr) * sd
     rad = sigma * jnp.float32(params.ori_rad_fctr)
-    win, start = gather_window(level, coord, extents)
+    if lvl is None:
+        win, start = gather_window(level, coord, extents)
+    else:
+        win, start = gather_window_leveled(level, lvl, coord, extents)
+        level = level[0]  # only the 3-D dims are used below
 
     ux, uy, uz = (np.float32(u) for u in units)
     inv = [np.float32(1.0) / np.float32(u) for u in units]
@@ -96,23 +102,30 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
                         params: DetectorParams,
                         chunk: int = 256,
                         centers: jnp.ndarray | None = None,
-                        sd_max: float | None = None) -> OrientationResult:
+                        sd_max: float | None = None,
+                        level_index: jnp.ndarray | None = None,
+                        fractional_centers: bool | None = None
+                        ) -> OrientationResult:
     """Batched orientation assignment for all keypoints of one pyramid level.
 
     coords: i32[K, 3] integer gather anchors. centers: optional f32[K, 3]
     true window centers (defaults to coords). sd: the level's absolute scale
     (scalar) or per-keypoint f32[K]. sd_max: static upper bound on sd used to
-    size windows (defaults to scalar sd).
+    size windows (defaults to scalar sd). level_index: optional i32[K] when
+    `level` is a stacked [L, nx, ny, nz] array of same-shape levels.
     """
     if sd_max is None:
         if not np.isscalar(sd):
             raise ValueError("sd_max is required when sd is per-keypoint")
         sd_max = float(sd)
+    dims = level.shape if level_index is None else level.shape[1:]
     rad_max = params.ori_sig_fctr * sd_max * params.ori_rad_fctr
     # slack when centers can be fractional (refined offsets are clamped to
     # one voxel around the integer anchor, +1 for the gradient border)
-    margin = 0 if centers is None else 4
-    extents = tuple(window_extent(rad_max / units[a], level.shape[a], margin)
+    if fractional_centers is None:
+        fractional_centers = centers is not None
+    margin = 4 if fractional_centers else 0
+    extents = tuple(window_extent(rad_max / units[a], dims[a], margin)
                     for a in range(3))
 
     if centers is None:
@@ -121,10 +134,17 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
     sd_arr = (jnp.full((K,), jnp.float32(sd)) if np.isscalar(sd)
               else jnp.asarray(sd, jnp.float32))
 
-    A, vd_win = chunked_vmap(
-        lambda args: _window_moments(level, args[0], args[1], args[2],
-                                     units, extents, params),
-        (coords, centers, sd_arr), chunk)
+    if level_index is None:
+        A, vd_win = chunked_vmap(
+            lambda args: _window_moments(level, args[0], args[1], args[2],
+                                         units, extents, params),
+            (coords, centers, sd_arr), chunk)
+    else:
+        A, vd_win = chunked_vmap(
+            lambda args: _window_moments(level, args[0], args[1], args[2],
+                                         units, extents, params,
+                                         lvl=args[3]),
+            (coords, centers, sd_arr, level_index), chunk)
 
     # Batched symmetric eigendecomposition, ascending eigenvalues (same
     # convention as LAPACK dsyevd in eigen_Mat_rm, imutil.c:960-1067).

@@ -93,6 +93,30 @@ def _orient_fn(plan: PyramidPlan, octave: int, dog_idx: int, bucket: int):
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _orient_octave_fn(plan: PyramidPlan, octave: int, bucket: int):
+    """Orientation for a mixed-level octave candidate batch: per-candidate
+    scale from the level index, windows sized by the octave's largest level
+    scale. Lets orientation dispatch before candidate counts reach the host
+    (speculative; see detect_keypoints)."""
+    params = plan.params
+    nl = params.num_kp_levels
+    units = plan.level_units(octave)
+    scales = np.asarray(
+        [plan.scales[octave][1 + li] for li in range(nl)], np.float32)
+    sd_max = float(scales.max())
+
+    @jax.jit
+    def run(gpyr_oct, coords, level, valid):
+        sd_arr = jnp.asarray(scales)[level]
+        lv = gpyr_oct[1:1 + nl]                     # [nl, nx, ny, nz]
+        return assign_orientations(
+            lv, coords, valid, sd_arr, units, params, sd_max=sd_max,
+            level_index=level, fractional_centers=False)
+
+    return run
+
+
 @functools.lru_cache(maxsize=256)
 def _orient_fn_ext(plan: PyramidPlan, octave: int, dog_idx: int,
                    bucket: int):
@@ -114,6 +138,11 @@ def _orient_fn_ext(plan: PyramidPlan, octave: int, dog_idx: int,
 
 def _bucket(n: int, cap: int, minimum: int = 32) -> int:
     return min(cap, max(minimum, 1 << (max(n, 1) - 1).bit_length()))
+
+
+# Speculative whole-octave orientation window (slots); octaves with more
+# candidates fall back to exact per-segment dispatches.
+_SPEC_ORI_SLOTS = 256
 
 
 @functools.lru_cache(maxsize=64)
@@ -223,12 +252,28 @@ class SIFT3D:
         self._plan, self._gpyr = plan, gpyr
         self._input_shape = vol.shape
 
+        # Speculative orientation: dispatch per octave over a fixed slot
+        # prefix before candidate counts reach the host, so the counts sync
+        # overlaps orientation compute. Octaves whose candidate count
+        # exceeds the speculative window fall back to exact per-segment
+        # dispatches in _assemble.
+        extensions = (self.params.refine_subvoxel
+                      or self.params.edge_thresh is not None)
+        spec_oris = None
+        if not extensions:
+            spec_oris = []
+            for o, (cand, _) in enumerate(per_oct):
+                spec = min(_SPEC_ORI_SLOTS, caps[o])
+                spec_oris.append((spec, _orient_octave_fn(plan, o, spec)(
+                    gpyr[o], cand.coords[:spec], cand.level[:spec],
+                    cand.valid[:spec])))
+
         # One small device->host sync for all per-level counts (the device
         # may sit behind a high-latency link — never transfer per level).
         counts = jax.device_get(
             jnp.stack([c.counts for c, _ in per_oct]))  # [n_oct, nl]
         return self._assemble(plan, caps, per_oct, counts,
-                              lambda o, i: gpyr[o][i])
+                              lambda o, i: gpyr[o][i], spec_oris)
 
     def detect_keypoints_batch(self, vols, units=(1.0, 1.0, 1.0)):
         """Detect keypoints for a batch of same-shape volumes [B, nx, ny,
@@ -281,16 +326,18 @@ class SIFT3D:
             out.append(proxy.extract_descriptors(kp))
         return out
 
-    def _assemble(self, plan, caps, per_oct, counts, level_getter):
+    def _assemble(self, plan, caps, per_oct, counts, level_getter,
+                  spec_oris=None):
         extensions = (self.params.refine_subvoxel
                       or self.params.edge_thresh is not None)
         nl = self.params.num_kp_levels
 
         # Dispatch orientation per level segment (async), bucketed to the
-        # candidate count. Bucket quantization keeps the set of
-        # slice/program shapes small so compilations amortize across
+        # candidate count, unless a speculative whole-octave orientation
+        # already covers all candidates. Bucket quantization keeps the set
+        # of slice/program shapes small so compilations amortize across
         # volumes.
-        pending = []  # (o, i, avail, bucket, device pytree)
+        pending = []  # (o, i, avail, bucket, device pytree) | octave specs
         for o, (cand, ref) in enumerate(per_oct):
             cap = caps[o]
             total = int(np.sum(counts[o]))
@@ -299,6 +346,15 @@ class SIFT3D:
                     f"keypoint capacity overflow at octave {o}: {total} "
                     f"candidates > capacity {cap}; increase "
                     f"DetectorParams.kp_per_level for exact results")
+            if spec_oris is not None:
+                spec, ori = spec_oris[o]
+                if total <= spec:
+                    if total > 0:
+                        pending.append(
+                            ("oct", o, counts[o], spec,
+                             (cand.coords[:spec], cand.strength[:spec],
+                              ori.R, ori.accepted, None)))
+                    continue
             start = 0
             for li in range(nl):
                 c = int(counts[o][li])
@@ -327,7 +383,7 @@ class SIFT3D:
                     ori = _orient_fn(plan, o, i, b)(
                         level_getter(o, i), co, seg_valid)
                     payload = (co, st, ori.R, ori.accepted, None)
-                pending.append((o, i, avail, b, payload))
+                pending.append(("seg", o, i, avail, payload))
                 start += c
 
         if not pending:
@@ -336,12 +392,33 @@ class SIFT3D:
                 level=np.zeros(0, np.int32), sd=np.zeros(0),
                 strength=np.zeros(0), R=np.zeros((0, 3, 3), np.float32))
 
-        # One batched transfer for all levels' results.
+        # One batched transfer for all results.
         host = jax.device_get([p[4] for p in pending])
 
         coords_l, strength_l, acc_l, oct_l, lvl_l, sd_l, R_l = \
             [], [], [], [], [], [], []
-        for (o, i, c, b, _), (co, st, R_, acc, sd_a) in zip(pending, host):
+        for entry, (co, st, R_, acc, sd_a) in zip(pending, host):
+            if entry[0] == "oct":
+                # whole-octave speculative result: split level segments on
+                # the host (the store is level-segmented in order)
+                _, o, cnt_lvls, spec, _p = entry
+                start = 0
+                for li in range(nl):
+                    c = int(cnt_lvls[li])
+                    if c == 0:
+                        continue
+                    sl = slice(start, start + c)
+                    coords_l.append(co[sl])
+                    strength_l.append(st[sl])
+                    acc_l.append(acc[sl])
+                    R_l.append(R_[sl])
+                    oct_l.append(np.full(c, o, np.int32))
+                    lvl_l.append(np.full(c, li, np.int32))
+                    sd_l.append(np.full(c, plan.scales[o][li + 1],
+                                        np.float64))
+                    start += c
+                continue
+            _, o, i, c, _p = entry
             coords_l.append(co[:c])
             strength_l.append(st[:c])
             acc_l.append(acc[:c])

@@ -42,6 +42,21 @@ def gather_window(level: jnp.ndarray, coord: jnp.ndarray,
     return win, start
 
 
+def gather_window_leveled(levels: jnp.ndarray, lvl: jnp.ndarray,
+                          coord: jnp.ndarray, extents):
+    """As gather_window, but from a stacked [L, nx, ny, nz] array at the
+    per-candidate level index lvl."""
+    starts = []
+    for a in range(3):
+        n, G = levels.shape[1 + a], extents[a]
+        half = (G - 1) // 2
+        starts.append(jnp.clip(coord[a] - half, 0, n - G))
+    start = jnp.stack(starts)
+    win = jax.lax.dynamic_slice(
+        levels, (lvl, starts[0], starts[1], starts[2]), (1,) + tuple(extents))
+    return win[0], start
+
+
 def chunked_vmap(fn, xs, chunk: int):
     """vmap fn over the leading axis of xs (a pytree), processing `chunk`
     rows at a time with lax.map to bound memory. Leading dim must be a

@@ -55,3 +55,18 @@ def test_minimum_size_volume():
     import sift3d_tpu as s3d
     kp = s3d.SIFT3D().detect_keypoints(phantom_shape((9, 9, 9), 5))
     assert len(kp) == 0  # too small/smooth for stable keypoints
+
+
+def test_sphere_phantom_parity(tmp_path):
+    """BASELINE config 1: hard-edged sphere phantom at 64^3."""
+    import sift3d_tpu as s3d
+    from conftest import make_sphere_phantom
+
+    vol = make_sphere_phantom(64)
+    res = run_oracle(vol, tmp_path / "sph")
+    kp = s3d.SIFT3D().detect_keypoints(vol)
+    ref = res.keypoints
+    assert len(kp) == len(ref)
+    if len(kp):
+        assert np.array_equal(kp.coords, ref[:, 1:4])
+        assert np.allclose(kp.strength, ref[:, 0], atol=1e-6)
