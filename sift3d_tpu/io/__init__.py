@@ -7,7 +7,7 @@ Analyze extensions (.img/.img.gz/.hdr) route to the NIfTI reader.
 
 from __future__ import annotations
 
-from pathlib import Path
+
 
 import numpy as np
 

@@ -17,7 +17,7 @@ import io
 
 import numpy as np
 
-from .params import DESC_NUMEL
+
 
 
 def _write_csv(path: str, mat: np.ndarray) -> None:

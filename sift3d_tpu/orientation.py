@@ -21,7 +21,7 @@ scales per-keypoint; window *shapes* stay static via a scale upper bound.
 
 from __future__ import annotations
 
-import math
+
 from typing import NamedTuple
 
 import jax

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..detect import detect_extrema_level
-from ..params import DetectorParams
+
 from ..pyramid import PyramidPlan, build_dog, build_gpyr, scale_to_unit
 
 

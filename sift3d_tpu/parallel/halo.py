@@ -18,7 +18,7 @@ riding the ICI ring; the matmul itself stays a local MXU op.
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,7 @@ from .keypoints import Descriptors, Keypoints
 from .orientation import assign_orientations
 from .params import DESC_NUMEL, DetectorParams
 from .pyramid import PyramidPlan, build_gpyr, make_plan, scale_to_unit
-from .volume import Volume, as_volume
+from .volume import as_volume
 
 
 @functools.lru_cache(maxsize=32)

@@ -19,7 +19,7 @@ import time
 from collections import defaultdict
 
 import jax
-import numpy as np
+
 
 
 class StageTimes:
