@@ -24,17 +24,19 @@ REPO = Path(__file__).resolve().parent
 
 
 def make_bench_volume(n: int) -> np.ndarray:
-    """MRI-like phantom: smooth anatomy-ish blobs + mild texture."""
+    """MRI-like phantom with enough anatomy-scale structure to yield a
+    realistic keypoint population (~85 keypoints at 256^3), so the
+    descriptor stage is exercised meaningfully."""
     rng = np.random.default_rng(42)
     x, y, z = np.meshgrid(*([np.arange(n)] * 3), indexing="ij")
-    vol = np.zeros((n, n, n), dtype=np.float64)
-    for _ in range(40):
-        c = rng.uniform(0.1 * n, 0.9 * n, 3)
-        s = rng.uniform(0.02 * n, 0.10 * n, 3)
-        vol += rng.uniform(0.2, 1.0) * rng.choice([-1, 1]) * np.exp(
+    vol = np.zeros((n, n, n), dtype=np.float32)
+    for _ in range(150):
+        c = rng.uniform(0.08 * n, 0.92 * n, 3)
+        s = rng.uniform(0.01 * n, 0.06 * n, 3)
+        vol += (rng.uniform(0.2, 1.0) * rng.choice([-1, 1]) * np.exp(
             -(((x - c[0]) / s[0]) ** 2 + ((y - c[1]) / s[1]) ** 2
-              + ((z - c[2]) / s[2]) ** 2))
-    return vol.astype(np.float32)
+              + ((z - c[2]) / s[2]) ** 2))).astype(np.float32)
+    return vol
 
 
 def bench_tpu(vol: np.ndarray, repeats: int):
