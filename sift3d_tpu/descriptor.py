@@ -53,11 +53,12 @@ def _level_radius(sd: float, params: DetectorParams) -> float:
 
 def _extract_one(level, coord, center, R, sd,
                  units: tuple[float, float, float], extents, chunk_vox: int,
-                 params: DetectorParams):
+                 params: DetectorParams, lvl=None):
     """Descriptor histogram [64, 12] for one keypoint.
 
     coord: i32[3] gather anchor; center: f32[3] true (possibly fractional)
-    window center; sd: f32[] keypoint scale.
+    window center; sd: f32[] keypoint scale. When `lvl` is given, `level` is
+    a stacked [L, nx, ny, nz] array and the window gathers from level lvl.
     """
     prec = jax.lax.Precision.HIGHEST
     nb = NHIST_PER_DIM
@@ -70,7 +71,12 @@ def _extract_one(level, coord, center, R, sd,
     desc_hist_width = desc_width / jnp.float32(nb)
     desc_bin_fctr = jnp.float32(1.0) / desc_hist_width
 
-    win, start = gather_window(level, coord, extents)
+    if lvl is None:
+        win, start = gather_window(level, coord, extents)
+    else:
+        from .windows import gather_window_leveled
+        win, start = gather_window_leveled(level, lvl, coord, extents)
+        level = level[0]  # only the 3-D dims are used below
 
     ux, uy, uz = (np.float32(u) for u in units)
     inv_u = tuple(np.float32(1.0) / u for u in (ux, uy, uz))
@@ -207,11 +213,13 @@ def _extract_one(level, coord, center, R, sd,
 
 def _prep_window(level, coord, center, R, sd,
                  units: tuple[float, float, float], extents, tile: int,
-                 params: DetectorParams):
+                 params: DetectorParams, lvl=None):
     """Per-keypoint prep for the Pallas histogram kernel: rotated weighted
     gradients and spatial bins for the whole window, flattened and padded to
     a tile multiple. Masked voxels have their gradient zeroed (their
-    contribution vanishes because the kernel scales by |grot|)."""
+    contribution vanishes because the kernel scales by |grot|). When `lvl`
+    is given, `level` is a stacked [L, nx, ny, nz] array and the window
+    gathers from level lvl."""
     prec = jax.lax.Precision.HIGHEST
     nb = NHIST_PER_DIM
 
@@ -221,7 +229,12 @@ def _prep_window(level, coord, center, R, sd,
     desc_bin_fctr = jnp.float32(1.0) / (
         jnp.float32(2.0) * desc_half_width / jnp.float32(nb))
 
-    win, start = gather_window(level, coord, extents)
+    if lvl is None:
+        win, start = gather_window(level, coord, extents)
+    else:
+        from .windows import gather_window_leveled
+        win, start = gather_window_leveled(level, lvl, coord, extents)
+        level = level[0]  # only the 3-D dims are used below
     ux, uy, uz = (np.float32(u) for u in units)
     inv_u = tuple(np.float32(1.0) / u for u in (ux, uy, uz))
     gx = 0.5 * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) * inv_u[0]
@@ -267,30 +280,36 @@ def _prep_window(level, coord, center, R, sd,
 
 def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
                     kp_chunk: int, params: DetectorParams,
-                    interpret: bool = False):
+                    interpret: bool = False, level_index=None):
     """Histogram extraction through the Pallas kernel, kp_chunk keypoints
     per call."""
     from .ops.desc_kernel import desc_hist_pallas
 
     K = coords.shape[0]
     tile = 2048
+    if level_index is None:
+        level_index = jnp.zeros((K,), jnp.int32)
+        lvl_arg = None
+    else:
+        lvl_arg = True
 
     def chunk_fn(args):
-        c_coords, c_centers, c_R, c_sd = args
+        c_coords, c_centers, c_R, c_sd, c_lvl = args
         grot, vbins = jax.vmap(
-            lambda co, ce, Rk, sdk: _prep_window(
-                level, co, ce, Rk, sdk, units, extents, tile, params))(
-            c_coords, c_centers, c_R, c_sd)
+            lambda co, ce, Rk, sdk, lv: _prep_window(
+                level, co, ce, Rk, sdk, units, extents, tile, params,
+                lvl=(lv if lvl_arg else None)))(
+            c_coords, c_centers, c_R, c_sd, c_lvl)
         return desc_hist_pallas(grot, vbins, interpret=interpret)
 
+    args = (coords, centers, R, sd_arr, level_index)
     if K <= kp_chunk:
-        hists = chunk_fn((coords, centers, R, sd_arr))
+        hists = chunk_fn(args)
     else:
         assert K % kp_chunk == 0, (K, kp_chunk)
         def reshape(x):
             return x.reshape((K // kp_chunk, kp_chunk) + x.shape[1:])
-        out = jax.lax.map(chunk_fn, (reshape(coords), reshape(centers),
-                                     reshape(R), reshape(sd_arr)))
+        out = jax.lax.map(chunk_fn, tuple(reshape(a) for a in args))
         hists = out.reshape(K, *out.shape[2:])
     nb = NHIST_PER_DIM
     return hists.reshape(K, nb, nb, nb, ICOS_NVERT).reshape(
@@ -314,21 +333,28 @@ def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
                         vox_chunk: int = 65536,
                         centers: jnp.ndarray | None = None,
                         sd_max: float | None = None,
-                        use_pallas: bool | None = None) -> DescriptorResult:
+                        use_pallas: bool | None = None,
+                        level_index: jnp.ndarray | None = None,
+                        fractional_centers: bool | None = None
+                        ) -> DescriptorResult:
     """Descriptors for all keypoints of one pyramid level.
 
     coords i32[K,3] integer gather anchors, R f32[K,3,3]; sd is the level's
     absolute scale (scalar) or per-keypoint f32[K] (subvoxel-refined);
     centers optionally give fractional window centers; units are the level's
-    voxel units. Invalid slots produce zeros.
+    voxel units. level_index: optional i32[K] when `level` is a stacked
+    [L, nx, ny, nz] array of same-shape levels. Invalid slots produce zeros.
     """
     if sd_max is None:
         if not np.isscalar(sd):
             raise ValueError("sd_max is required when sd is per-keypoint")
         sd_max = float(sd)
+    dims = level.shape if level_index is None else level.shape[1:]
     rad = _level_radius(sd_max, params)
-    margin = 0 if centers is None else 4
-    extents = tuple(window_extent(rad / units[a], level.shape[a], margin)
+    if fractional_centers is None:
+        fractional_centers = centers is not None
+    margin = 4 if fractional_centers else 0
+    extents = tuple(window_extent(rad / units[a], dims[a], margin)
                     for a in range(3))
 
     if centers is None:
@@ -341,14 +367,20 @@ def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         hists = _extract_pallas(level, coords, centers, R, sd_arr, units,
-                                extents, kp_chunk, params)
+                                extents, kp_chunk, params,
+                                level_index=level_index)
     else:
-        def one(args):
-            coord, center, Rk, sd_k = args
-            return _extract_one(level, coord, center, Rk, sd_k, units,
-                                extents, vox_chunk, params)
+        lvl_arr = (jnp.zeros((K,), jnp.int32) if level_index is None
+                   else level_index)
 
-        hists = chunked_vmap(one, (coords, centers, R, sd_arr), kp_chunk)
+        def one(args):
+            coord, center, Rk, sd_k, lv = args
+            return _extract_one(
+                level, coord, center, Rk, sd_k, units, extents, vox_chunk,
+                params, lvl=(lv if level_index is not None else None))
+
+        hists = chunked_vmap(one, (coords, centers, R, sd_arr, lvl_arr),
+                             kp_chunk)
     desc = jax.vmap(lambda h: _normalize(h, params))(hists)
     desc = jnp.where(valid[:, None, None], desc, 0.0)
     desc = desc.reshape(coords.shape[0], -1)

@@ -170,32 +170,24 @@ def _seg_slice_fn(bucket: int, with_ref: bool):
 
 
 @functools.lru_cache(maxsize=256)
-def _extract_fn(plan: PyramidPlan, octave: int, dog_idx: int, bucket: int):
+def _extract_oct_fn(plan: PyramidPlan, octave: int, bucket: int,
+                    refined: bool):
+    """Descriptors for a mixed-level octave keypoint batch: per-keypoint
+    scales and level indices, windows sized by the octave's largest level
+    scale. One dispatch per octave instead of one per (octave, level)."""
     params = plan.params
-    sd = plan.scales[octave][dog_idx]
+    nl = params.num_kp_levels
     units = plan.level_units(octave)
+    sd_max = plan.scales[octave][nl]  # largest keypoint-level scale
+    if refined:
+        sd_max *= 2.0 ** (1.0 / nl)   # refined |ds| <= 1 level unit
 
     @jax.jit
-    def run(level, coords, R, valid):
-        return _extract_level(level, coords, R, valid, sd, octave, units,
-                              params)
-
-    return run
-
-
-@functools.lru_cache(maxsize=256)
-def _extract_fn_ext(plan: PyramidPlan, octave: int, dog_idx: int,
-                    bucket: int):
-    """Descriptors with fractional centers / per-keypoint scales."""
-    params = plan.params
-    sd_level = plan.scales[octave][dog_idx]
-    sd_max = sd_level * 2.0 ** (1.0 / params.num_kp_levels)
-    units = plan.level_units(octave)
-
-    @jax.jit
-    def run(level, coords, R, valid, centers, sd_arr):
-        return _extract_level(level, coords, R, valid, sd_arr, octave,
-                              units, params, centers=centers, sd_max=sd_max)
+    def run(gpyr_oct, coords, R, valid, centers, sd_arr, lvl):
+        lv = gpyr_oct[1:1 + nl]
+        return _extract_level(lv, coords, R, valid, sd_arr, octave, units,
+                              params, centers=centers, sd_max=sd_max,
+                              level_index=lvl, fractional_centers=refined)
 
     return run
 
@@ -471,40 +463,37 @@ class SIFT3D:
         sd_out = np.zeros((n,), np.float32)
         data = np.zeros((n, DESC_NUMEL), np.float32)
 
-        groups: dict[tuple[int, int], list[int]] = {}
+        groups: dict[int, list[int]] = {}
         for j in range(n):
-            groups.setdefault(
-                (int(kp.octave[j]), int(kp.level[j]) + 1), []).append(j)
+            groups.setdefault(int(kp.octave[j]), []).append(j)
 
-        # Refined keypoints carry fractional coordinates / per-keypoint
-        # scales; route those through the extended extractor.
+        # Refined keypoints carry fractional coordinates; window shapes get
+        # the fractional-center margin then.
         refined = (not np.all(kp.coords == np.rint(kp.coords))
                    or self.params.refine_subvoxel)
 
-        # Dispatch every level group (async), then one batched transfer.
+        # One dispatch per octave (mixed levels, per-keypoint scales), then
+        # one batched transfer.
         pending = []
-        for (o, i), idxs in groups.items():
+        for o, idxs in groups.items():
             cnt = len(idxs)
             bucket = max(8, 1 << (cnt - 1).bit_length())
             coords = np.zeros((bucket, 3), np.int32)
             R = np.tile(np.eye(3, dtype=np.float32), (bucket, 1, 1))
             valid = np.zeros((bucket,), bool)
+            centers = np.zeros((bucket, 3), np.float32)
+            sd_arr = np.full((bucket,), plan.scales[o][1], np.float32)
+            lvl = np.zeros((bucket,), np.int32)
             coords[:cnt] = np.rint(kp.coords[idxs]).astype(np.int32)
             R[:cnt] = kp.R[idxs]
             valid[:cnt] = True
-            if refined:
-                centers = np.zeros((bucket, 3), np.float32)
-                centers[:cnt] = kp.coords[idxs]
-                sd_arr = np.full((bucket,), plan.scales[o][i], np.float32)
-                sd_arr[:cnt] = kp.sd[idxs]
-                run = _extract_fn_ext(plan, o, i, bucket)
-                res = run(self._gpyr[o][i], jnp.asarray(coords),
-                          jnp.asarray(R), jnp.asarray(valid),
-                          jnp.asarray(centers), jnp.asarray(sd_arr))
-            else:
-                run = _extract_fn(plan, o, i, bucket)
-                res = run(self._gpyr[o][i], jnp.asarray(coords),
-                          jnp.asarray(R), jnp.asarray(valid))
+            centers[:cnt] = kp.coords[idxs]
+            sd_arr[:cnt] = kp.sd[idxs]
+            lvl[:cnt] = kp.level[idxs]
+            run = _extract_oct_fn(plan, o, bucket, refined)
+            res = run(self._gpyr[o], jnp.asarray(coords), jnp.asarray(R),
+                      jnp.asarray(valid), jnp.asarray(centers),
+                      jnp.asarray(sd_arr), jnp.asarray(lvl))
             pending.append((idxs, cnt, res))
 
         host = jax.device_get([p[2] for p in pending])
