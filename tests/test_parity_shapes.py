@@ -70,3 +70,33 @@ def test_sphere_phantom_parity(tmp_path):
     if len(kp):
         assert np.array_equal(kp.coords, ref[:, 1:4])
         assert np.allclose(kp.strength, ref[:, 0], atol=1e-6)
+
+
+def test_high_candidate_count_fallback(tmp_path):
+    """A low peak threshold floods the candidate stores past the speculative
+    orientation window, forcing the exact per-segment fallback — parity must
+    hold there too."""
+    import sift3d_tpu as s3d
+
+    rng = np.random.default_rng(3)
+    vol = (phantom_shape((48, 48, 48), 8, nblobs=40)
+           + 0.05 * rng.normal(size=(48, 48, 48)).astype(np.float32))
+    res = run_oracle(vol, tmp_path / "hc", peak=0.01, corner=0.2)
+    params = s3d.DetectorParams(peak_thresh=0.01, corner_thresh=0.2)
+    det = s3d.SIFT3D(params)
+    kp = det.detect_keypoints(vol)
+    ref = res.keypoints
+
+    # confirm the regime actually exceeds the speculative window somewhere
+    import jax
+    import jax.numpy as jnp
+    from sift3d_tpu.pipeline import _SPEC_ORI_SLOTS, _detect_fn
+    from sift3d_tpu.pyramid import make_plan
+    plan = make_plan(vol.shape, (1.0, 1.0, 1.0), params)
+    run, _caps = _detect_fn(plan)
+    _, per_oct = run(jnp.asarray(vol))
+    counts = jax.device_get(jnp.stack([c.counts for c, _ in per_oct]))
+    assert counts.sum(axis=1).max() > _SPEC_ORI_SLOTS, counts
+    assert len(kp) == len(ref)
+    assert np.array_equal(kp.coords, ref[:, 1:4])
+    assert np.allclose(kp.strength, ref[:, 0], atol=1e-6)
