@@ -94,6 +94,9 @@ def main(argv=None) -> int:
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--registration", action="store_true",
+                    help="additionally emit registration benchmark JSON "
+                         "lines (BASELINE configs 4-5)")
     args = ap.parse_args(argv)
 
     vol = make_bench_volume(args.size)
@@ -120,6 +123,13 @@ def main(argv=None) -> int:
         "unit": "ms",
         "vs_baseline": round(vs, 3),
     }))
+
+    if args.registration:
+        # BASELINE configs 4-5 (extra JSON lines, opt-in so the default
+        # driver contract of exactly one line holds).
+        sys.path.insert(0, str(REPO / "tools"))
+        import bench_registration
+        bench_registration.main(["--size", "192", "--batch-size", "256"])
     return 0
 
 

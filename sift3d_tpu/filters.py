@@ -17,7 +17,7 @@ axis, the entire pass â€” taps, fractional sampling, and every boundary quirk â€
 can be encoded exactly in one banded n x n matrix built here on the host.
 On device the blur then becomes three dense matmuls, which is the native MXU
 formulation of this algorithm: no gathers, no boundary branches, full systolic
-throughput. See ops/blur.py for the device side.
+throughput. The device side lives in pyramid.blur (composed banded matmuls).
 """
 
 from __future__ import annotations

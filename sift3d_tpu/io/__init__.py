@@ -14,7 +14,7 @@ import numpy as np
 from ..volume import Volume
 from .nifti import read_nifti, write_nifti
 
-_NIFTI_EXTS = (".nii", ".nii.gz", ".img", ".img.gz", ".hdr")
+_NIFTI_EXTS = (".nii", ".nii.gz", ".img", ".img.gz", ".hdr", ".hdr.gz")
 
 
 def read_volume(path) -> Volume:

@@ -52,13 +52,41 @@ def _open_maybe_gz(path, mode="rb"):
     return open(p, mode)
 
 
+def _resolve_pair(path):
+    """Resolve a two-file .hdr/.img pair from EITHER member's name, the way
+    nifticlib does (the reference routes Analyze extensions to the NIfTI
+    reader, imutil.c:318-331, and nifticlib locates the sibling from the
+    basename, nifti.c:52-62). Returns (header_path, img_path); img_path is
+    None for single-file inputs (.nii/.nii.gz)."""
+    p = str(path)
+    lower = p.lower()
+    for ext, mate in ((".hdr", ".img"), (".img", ".hdr")):
+        for gz in (".gz", ""):
+            if lower.endswith(ext + gz):
+                stem = p[:len(p) - len(ext) - len(gz)]
+
+                def find(base, preferred_gz=gz):
+                    for g in (preferred_gz, "", ".gz"):
+                        cand = base + g
+                        if Path(cand).exists():
+                            return cand
+                    return base + preferred_gz
+
+                if ext == ".hdr":
+                    return p, find(stem + ".img")
+                return find(stem + ".hdr"), p
+    return p, None
+
+
 def read_nifti(path):
-    """Read a NIfTI-1 volume.
+    """Read a NIfTI-1 volume (.nii/.nii.gz, or either member of a
+    .hdr/.img pair, optionally gzipped).
 
     Returns (data, units): data is float32 [nx, ny, nz] (or [nx, ny, nz, nc]
     when the file is 4-D), units is (ux, uy, uz) from pixdim.
     """
-    with _open_maybe_gz(path) as f:
+    hdr_path, img_path = _resolve_pair(path)
+    with _open_maybe_gz(hdr_path) as f:
         hdr = f.read(_HDR_SIZE)
         if len(hdr) < _HDR_SIZE:
             raise ValueError(f"{path}: truncated NIfTI header")
@@ -70,7 +98,8 @@ def read_nifti(path):
                 raise ValueError(f"{path}: not a NIfTI-1 file")
             endian = ">"
         magic = hdr[_MAGIC_OFFSET:_MAGIC_OFFSET + 4]
-        if magic[:3] not in (b"n+1", b"ni1"):
+        analyze = magic[:3] not in (b"n+1", b"ni1")
+        if analyze and img_path is None:
             raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
 
         dim = struct.unpack_from(endian + "8h", hdr, 40)
@@ -79,6 +108,10 @@ def read_nifti(path):
         vox_offset = struct.unpack_from(endian + "f", hdr, 108)[0]
         scl_slope = struct.unpack_from(endian + "f", hdr, 112)[0]
         scl_inter = struct.unpack_from(endian + "f", hdr, 116)[0]
+        if analyze:
+            # ANALYZE 7.5 pair: the scl_slope/scl_inter offsets hold unused
+            # fields (funused1/2); no intensity scaling.
+            scl_slope, scl_inter = 0.0, 0.0
 
         ndim = dim[0]
         # Reference semantics: accept 3-D, or 4-D with the 4th dim as
@@ -95,12 +128,13 @@ def read_nifti(path):
             raise ValueError(f"{path}: unsupported datatype {datatype}")
         np_dtype = np.dtype(_DTYPES[datatype]).newbyteorder(endian)
 
-        if magic[:3] == b"ni1":
-            # two-file .hdr/.img pair: data in the sibling .img
-            img_path = Path(str(path).replace(".hdr", ".img"))
-            f2 = _open_maybe_gz(img_path)
-            raw = f2.read()
-            f2.close()
+        if img_path is not None:
+            # two-file pair: data in the sibling .img (offset is into the
+            # .img file; 0 for pairs written by us and by nifticlib)
+            with _open_maybe_gz(img_path) as f2:
+                if vox_offset > 0:
+                    f2.seek(int(vox_offset))
+                raw = f2.read()
         else:
             f.seek(int(vox_offset))
             raw = f.read()
@@ -132,7 +166,10 @@ def read_nifti(path):
 
 
 def write_nifti(path, data, units=(1.0, 1.0, 1.0)) -> None:
-    """Write a float32 NIfTI-1 volume (write_nii, nifti.c:171-222)."""
+    """Write a float32 NIfTI-1 volume (write_nii, nifti.c:171-222).
+
+    A .hdr or .img target (optionally .gz) writes the two-file pair
+    (magic "ni1", data at offset 0 of the .img)."""
     data = np.asarray(data, dtype=np.float32)
     if data.ndim == 3:
         nx, ny, nz = data.shape
@@ -142,6 +179,9 @@ def write_nifti(path, data, units=(1.0, 1.0, 1.0)) -> None:
     else:
         raise ValueError(f"expected 3-D or 4-D data, got {data.shape}")
 
+    hdr_path, img_path = _resolve_pair(path)
+    pair = img_path is not None
+
     hdr = bytearray(_HDR_SIZE)
     struct.pack_into("<i", hdr, 0, _HDR_SIZE)
     ndim = 3 if nc == 1 else 4
@@ -150,16 +190,24 @@ def write_nifti(path, data, units=(1.0, 1.0, 1.0)) -> None:
     struct.pack_into("<h", hdr, 72, 32)            # bitpix
     struct.pack_into("<8f", hdr, 76, 0.0, units[0], units[1], units[2],
                      1.0, 1.0, 1.0, 1.0)
-    struct.pack_into("<f", hdr, 108, 352.0)        # vox_offset
+    struct.pack_into("<f", hdr, 108, 0.0 if pair else 352.0)  # vox_offset
     struct.pack_into("<f", hdr, 112, 1.0)          # scl_slope
     struct.pack_into("<f", hdr, 116, 0.0)          # scl_inter
-    hdr[_MAGIC_OFFSET:_MAGIC_OFFSET + 4] = b"n+1\x00"
+    hdr[_MAGIC_OFFSET:_MAGIC_OFFSET + 4] = (b"ni1\x00" if pair
+                                            else b"n+1\x00")
 
     if nc > 1:
         payload = data.transpose(3, 2, 1, 0).tobytes()
     else:
         payload = data.transpose(2, 1, 0).tobytes()
-    with _open_maybe_gz(path, "wb") as f:
-        f.write(bytes(hdr))
-        f.write(b"\x00" * 4)  # extension flag
-        f.write(payload)
+    if pair:
+        with _open_maybe_gz(hdr_path, "wb") as f:
+            f.write(bytes(hdr))
+            f.write(b"\x00" * 4)  # extension flag
+        with _open_maybe_gz(img_path, "wb") as f:
+            f.write(payload)
+    else:
+        with _open_maybe_gz(path, "wb") as f:
+            f.write(bytes(hdr))
+            f.write(b"\x00" * 4)  # extension flag
+            f.write(payload)

@@ -36,6 +36,13 @@ from .windows import chunked_vmap, gather_window, gather_window_leveled, \
 class OrientationResult(NamedTuple):
     R: jnp.ndarray        # f32[K, 3, 3]
     accepted: jnp.ndarray  # bool[K] (True = keypoint survives)
+    # Per-stage rejection masks, in the reference's short-circuit order
+    # (assign_eig_ori returns early: grad -> ratio -> corner,
+    # sift.c:996-1102). Each mask is the raw stage predicate; combine
+    # cumulatively for funnel counts.
+    reject_grad: jnp.ndarray    # bool[K]
+    reject_ratio: jnp.ndarray   # bool[K]
+    reject_corner: jnp.ndarray  # bool[K]
 
 
 def _window_moments(level, coord, center, sd, units, extents,
@@ -183,4 +190,6 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
     reject_corner = corner_score < jnp.float32(params.corner_thresh)
 
     accepted = valid & ~reject_grad & ~reject_ratio & ~reject_corner
-    return OrientationResult(R.astype(jnp.float32), accepted)
+    return OrientationResult(R.astype(jnp.float32), accepted,
+                             valid & reject_grad, valid & reject_ratio,
+                             valid & reject_corner)

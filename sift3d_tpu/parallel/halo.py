@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def band_halo(W: np.ndarray) -> int:
@@ -72,4 +72,4 @@ def sharded_blur_z(vol, W: np.ndarray, mesh: Mesh, axis: str = "z",
         return jnp.einsum("ab,...b->...a", Wblk, ext, precision=precision)
 
     return shard_map(f, mesh=mesh, in_specs=spec, out_specs=spec,
-                     check_rep=False)(vol)
+                     check_vma=False)(vol)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..detect import LevelCandidates, compact_candidates, default_capacity
 from ..params import DetectorParams
@@ -149,7 +149,7 @@ def detect_extrema_level_sharded(prev, cur, next_, params: DetectorParams,
     spec_out = (P(axis, None, None), P(axis, None), P(axis, None), P(axis))
     coords, strength, valid, count = shard_map(
         f, mesh=mesh, in_specs=(spec_in,) * 3, out_specs=spec_out,
-        check_rep=False)(prev, cur, next_)
+        check_vma=False)(prev, cur, next_)
     return LevelCandidates(coords, strength, valid, count)
 
 

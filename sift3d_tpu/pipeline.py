@@ -80,6 +80,39 @@ def _detect_fn(plan: PyramidPlan):
     return run, caps
 
 
+@functools.lru_cache(maxsize=64)
+def _redetect_octave_fn(plan: PyramidPlan, octave: int, capacity: int,
+                        extensions: bool):
+    """Re-detect one octave's extrema with an enlarged candidate capacity.
+
+    Used when the default fixed-capacity store overflowed: the per-level
+    counts are exact (computed from the stencil mask before compaction), so
+    retrying with capacity >= total preserves the reference's
+    never-drop-candidates semantics (slab growth, immacros.h:199-222) at the
+    cost of one extra dispatch for the rare overflowing octave."""
+    from .detect import detect_extrema_octave
+
+    params = plan.params
+
+    @jax.jit
+    def run(gpyr_oct):
+        dog_oct = gpyr_oct[:-1] - gpyr_oct[1:]
+        cand = detect_extrema_octave(dog_oct, params, capacity)
+        if extensions:
+            from .refinement import refine_candidates_octave
+            ref = refine_candidates_octave(
+                dog_oct, cand.coords, cand.level, cand.valid, params)
+        else:
+            ref = None
+        return cand, ref
+
+    return run
+
+
+def _retry_capacity(total: int) -> int:
+    return max(64, 1 << (total - 1).bit_length())
+
+
 @functools.lru_cache(maxsize=256)
 def _orient_fn(plan: PyramidPlan, octave: int, dog_idx: int, bucket: int):
     params = plan.params
@@ -201,6 +234,7 @@ def _detect_batch_fn(plan: PyramidPlan, batch: int):
 
     _, caps = _detect_fn(plan)
     params = plan.params
+    extensions = params.refine_subvoxel or params.edge_thresh is not None
 
     @jax.jit
     def run_batch(data):
@@ -210,7 +244,15 @@ def _detect_batch_fn(plan: PyramidPlan, batch: int):
             out = []
             for o in range(plan.num_octaves):
                 dog_oct = gpyr[o][:-1] - gpyr[o][1:]
-                out.append(detect_extrema_octave(dog_oct, params, caps[o]))
+                cand = detect_extrema_octave(dog_oct, params, caps[o])
+                if extensions:
+                    from .refinement import refine_candidates_octave
+                    ref = refine_candidates_octave(
+                        dog_oct, cand.coords, cand.level, cand.valid,
+                        params)
+                else:
+                    ref = None
+                out.append((cand, ref))
             return gpyr, out
         return jax.vmap(one)(data)
 
@@ -233,6 +275,9 @@ class SIFT3D:
         self._plan: PyramidPlan | None = None
         self._gpyr = None
         self._input_shape = None
+        # Per-(octave, level) rejection funnel of the last detection
+        # (profiling.detect_stats renders it).
+        self._funnel: dict | None = None
 
     # -- detection ----------------------------------------------------------
 
@@ -253,17 +298,43 @@ class SIFT3D:
                       or self.params.edge_thresh is not None)
         spec_oris = None
         if not extensions:
-            spec_oris = []
+            spec_raw = []
             for o, (cand, _) in enumerate(per_oct):
                 spec = min(_SPEC_ORI_SLOTS, caps[o])
-                spec_oris.append((spec, _orient_octave_fn(plan, o, spec)(
+                ori = _orient_octave_fn(plan, o, spec)(
                     gpyr[o], cand.coords[:spec], cand.level[:spec],
-                    cand.valid[:spec])))
+                    cand.valid[:spec])
+                spec_raw.append((spec, (cand.coords[:spec],
+                                        cand.strength[:spec],
+                                        ori.R, ori.accepted, None,
+                                        (ori.reject_grad, ori.reject_ratio,
+                                         ori.reject_corner))))
+            # ONE device->host sync for counts AND the speculative
+            # orientation results (the device may sit behind a high-latency
+            # link — each extra sync costs a full RTT). Octaves whose
+            # candidate count fits the speculative window then assemble
+            # purely on the host, with no further sync.
+            counts, spec_host = jax.device_get(
+                (jnp.stack([c.counts for c, _ in per_oct]),
+                 [p for _, p in spec_raw]))
+            spec_oris = [(s, p) for (s, _), p in zip(spec_raw, spec_host)]
+        else:
+            counts = jax.device_get(
+                jnp.stack([c.counts for c, _ in per_oct]))  # [n_oct, nl]
 
-        # One small device->host sync for all per-level counts (the device
-        # may sit behind a high-latency link — never transfer per level).
-        counts = jax.device_get(
-            jnp.stack([c.counts for c, _ in per_oct]))  # [n_oct, nl]
+        # Capacity-overflow retry: counts are exact (pre-compaction mask
+        # sums), so re-detecting the rare overflowing octave with a
+        # next-pow2 capacity preserves the reference's never-drop-candidates
+        # semantics (slab growth, immacros.h:199-222).
+        caps = dict(caps)
+        per_oct = list(per_oct)
+        for o in range(plan.num_octaves):
+            total = int(np.sum(counts[o]))
+            if total > caps[o]:
+                caps[o] = _retry_capacity(total)
+                per_oct[o] = _redetect_octave_fn(
+                    plan, o, caps[o], extensions)(gpyr[o])
+
         return self._assemble(plan, caps, per_oct, counts,
                               lambda o, i: gpyr[o][i], spec_oris)
 
@@ -273,10 +344,8 @@ class SIFT3D:
         share cached jits). Returns a list of Keypoints. The detector's
         cached pyramid afterwards is the *batch* pyramid; use
         extract_descriptors_batch for descriptors."""
-        if (self.params.refine_subvoxel
-                or self.params.edge_thresh is not None):
-            raise NotImplementedError(
-                "extensions are not supported in the batched path yet")
+        extensions = (self.params.refine_subvoxel
+                      or self.params.edge_thresh is not None)
         vols = jnp.asarray(vols, jnp.float32)
         B = vols.shape[0]
         plan = make_plan(vols.shape[1:], units, self.params)
@@ -287,16 +356,29 @@ class SIFT3D:
         self._batched = True
 
         from .detect import OctaveCandidates
+        from .refinement import RefinementResult
         counts_b = jax.device_get(
-            jnp.stack([c.counts for c in per_oct_b]))  # [n_oct, B, nl]
+            jnp.stack([c.counts for c, _ in per_oct_b]))  # [n_oct, B, nl]
         out = []
         for b in range(B):
-            per_oct = [
-                (OctaveCandidates(c.coords[b], c.level[b], c.strength[b],
-                                  c.valid[b], c.counts[b]), None)
-                for c in per_oct_b]
+            per_oct = []
+            for c, ref in per_oct_b:
+                cand_b = OctaveCandidates(c.coords[b], c.level[b],
+                                          c.strength[b], c.valid[b],
+                                          c.counts[b])
+                ref_b = (RefinementResult(ref.offset[b], ref.ds[b],
+                                          ref.edge_ok[b])
+                         if ref is not None else None)
+                per_oct.append((cand_b, ref_b))
+            caps_v = dict(caps)
+            for o in range(plan.num_octaves):
+                total = int(np.sum(counts_b[o, b]))
+                if total > caps_v[o]:
+                    caps_v[o] = _retry_capacity(total)
+                    per_oct[o] = _redetect_octave_fn(
+                        plan, o, caps_v[o], extensions)(gpyr_b[o][b])
             out.append(self._assemble(
-                plan, caps, per_oct, counts_b[:, b],
+                plan, caps_v, per_oct, counts_b[:, b],
                 lambda o, i, b=b: gpyr_b[o][b, i]))
         return out
 
@@ -339,13 +421,10 @@ class SIFT3D:
                     f"candidates > capacity {cap}; increase "
                     f"DetectorParams.kp_per_level for exact results")
             if spec_oris is not None:
-                spec, ori = spec_oris[o]
+                spec, payload = spec_oris[o]  # host arrays, see _assemble
                 if total <= spec:
                     if total > 0:
-                        pending.append(
-                            ("oct", o, counts[o], spec,
-                             (cand.coords[:spec], cand.strength[:spec],
-                              ori.R, ori.accepted, None)))
+                        pending.append(("oct", o, counts[o], spec, payload))
                     continue
             start = 0
             for li in range(nl):
@@ -367,18 +446,23 @@ class SIFT3D:
                     ori = _orient_fn_ext(plan, o, i, b)(
                         level_getter(o, i), co, seg_valid & re, centers,
                         sd_arr)
-                    payload = (centers, st, ori.R, ori.accepted, sd_arr)
+                    payload = (centers, st, ori.R, ori.accepted, sd_arr,
+                               (ori.reject_grad, ori.reject_ratio,
+                                ori.reject_corner))
                 else:
                     co, st = _seg_slice_fn(b, False)(
                         cand.coords, cand.strength, start)
                     seg_valid = jnp.arange(b) < avail
                     ori = _orient_fn(plan, o, i, b)(
                         level_getter(o, i), co, seg_valid)
-                    payload = (co, st, ori.R, ori.accepted, None)
+                    payload = (co, st, ori.R, ori.accepted, None,
+                               (ori.reject_grad, ori.reject_ratio,
+                                ori.reject_corner))
                 pending.append(("seg", o, i, avail, payload))
                 start += c
 
         if not pending:
+            self._funnel = {}
             return Keypoints(
                 coords=np.zeros((0, 3)), octave=np.zeros(0, np.int32),
                 level=np.zeros(0, np.int32), sd=np.zeros(0),
@@ -387,9 +471,26 @@ class SIFT3D:
         # One batched transfer for all results.
         host = jax.device_get([p[4] for p in pending])
 
+        # Per-(octave, level) detection funnel in the reference's
+        # short-circuit order (grad -> ratio -> corner, sift.c:996-1102).
+        self._funnel = {}
+
+        def _funnel_add(o, s, acc_seg, rej_seg):
+            f = self._funnel.setdefault(
+                (o, s), {"candidates": 0, "reject_grad": 0,
+                         "reject_ratio": 0, "reject_corner": 0,
+                         "survivors": 0})
+            f["candidates"] += len(acc_seg)
+            f["survivors"] += int(np.sum(acc_seg))
+            if rej_seg is not None:
+                g, r, cn = rej_seg
+                f["reject_grad"] += int(np.sum(g))
+                f["reject_ratio"] += int(np.sum(~g & r))
+                f["reject_corner"] += int(np.sum(~g & ~r & cn))
+
         coords_l, strength_l, acc_l, oct_l, lvl_l, sd_l, R_l = \
             [], [], [], [], [], [], []
-        for entry, (co, st, R_, acc, sd_a) in zip(pending, host):
+        for entry, (co, st, R_, acc, sd_a, rej) in zip(pending, host):
             if entry[0] == "oct":
                 # whole-octave speculative result: split level segments on
                 # the host (the store is level-segmented in order)
@@ -408,6 +509,8 @@ class SIFT3D:
                     lvl_l.append(np.full(c, li, np.int32))
                     sd_l.append(np.full(c, plan.scales[o][li + 1],
                                         np.float64))
+                    _funnel_add(o, li, acc[sl],
+                                tuple(m[sl] for m in rej) if rej else None)
                     start += c
                 continue
             _, o, i, c, _p = entry
@@ -419,6 +522,8 @@ class SIFT3D:
             lvl_l.append(np.full(c, i - 1, np.int32))  # raw level s
             sd_l.append(sd_a[:c].astype(np.float64) if sd_a is not None
                         else np.full(c, plan.scales[o][i], np.float64))
+            _funnel_add(o, i - 1, acc[:c],
+                        tuple(m[:c] for m in rej) if rej else None)
 
         coords = np.concatenate(coords_l).astype(np.float64)
         strength = np.concatenate(strength_l).astype(np.float64)

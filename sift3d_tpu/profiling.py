@@ -56,12 +56,35 @@ class StageTimes:
 
 
 def detect_stats(detector, kp) -> dict:
-    """Per-level detection funnel for a completed detect_keypoints call."""
-    out = {"num_keypoints": len(kp), "per_level": {}}
+    """Per-level detection funnel for a completed detect_keypoints call:
+    candidates -> grad-reject -> ratio-reject -> corner-reject -> survivors
+    per (octave, level), in the reference's short-circuit rejection order
+    (assign_eig_ori, sift.c:996-1102). These are the numbers needed to
+    localize a parity break to a specific filter stage."""
+    out = {"num_keypoints": len(kp), "per_level": {}, "funnel": {}}
     oct_lvl = list(zip(kp.octave.tolist(), kp.level.tolist()))
     for o, s in sorted(set(oct_lvl)):
         out["per_level"][f"o{o}s{s}"] = oct_lvl.count((o, s))
+    funnel = getattr(detector, "_funnel", None) or {}
+    total = {"candidates": 0, "reject_grad": 0, "reject_ratio": 0,
+             "reject_corner": 0, "survivors": 0}
+    for (o, s), f in sorted(funnel.items()):
+        out["funnel"][f"o{o}s{s}"] = dict(f)
+        for k in total:
+            total[k] += f[k]
+    if funnel:
+        out["funnel"]["total"] = total
     return out
+
+
+def format_funnel(stats: dict) -> str:
+    """Render detect_stats() as an aligned funnel table."""
+    cols = ["candidates", "reject_grad", "reject_ratio", "reject_corner",
+            "survivors"]
+    lines = [f"{'level':<8}" + "".join(f"{c:>14}" for c in cols)]
+    for name, f in stats.get("funnel", {}).items():
+        lines.append(f"{name:<8}" + "".join(f"{f[c]:>14}" for c in cols))
+    return "\n".join(lines)
 
 
 @contextlib.contextmanager

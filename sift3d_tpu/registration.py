@@ -55,19 +55,40 @@ def _match_jit(d1, d2, valid1, valid2, nn_thresh: float):
     return best_idx, ok
 
 
+def _pow2_bucket(n: int, minimum: int = 32) -> int:
+    return max(minimum, 1 << (max(n, 1) - 1).bit_length())
+
+
+def _pad_rows(a: np.ndarray, b: int) -> np.ndarray:
+    if a.shape[0] == b:
+        return a
+    return np.pad(a, ((0, b - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
+
+
 def match_descriptors(desc1: Descriptors, desc2: Descriptors,
                       nn_thresh: float = 0.8):
     """Match desc1 against desc2. Returns (idx1, idx2) index arrays of the
-    accepted pairs (numpy)."""
+    accepted pairs (numpy).
+
+    Inputs are padded to power-of-two row counts with validity masks so
+    compilations are cached per bucket rather than per exact keypoint count
+    (every new shape would otherwise recompile — minutes on a tunneled
+    device)."""
     n1, n2 = len(desc1), len(desc2)
     if n1 == 0 or n2 == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    b1, b2 = _pow2_bucket(n1), _pow2_bucket(n2)
+    v1 = np.zeros(b1, bool)
+    v1[:n1] = True
+    v2 = np.zeros(b2, bool)
+    v2[:n2] = True
     best_idx, ok = _match_jit(
-        jnp.asarray(desc1.data), jnp.asarray(desc2.data),
-        jnp.ones(n1, bool), jnp.ones(n2, bool), float(nn_thresh))
-    ok = np.asarray(ok)
+        jnp.asarray(_pad_rows(np.asarray(desc1.data, np.float32), b1)),
+        jnp.asarray(_pad_rows(np.asarray(desc2.data, np.float32), b2)),
+        jnp.asarray(v1), jnp.asarray(v2), float(nn_thresh))
+    ok = np.asarray(ok)[:n1]
     idx1 = np.nonzero(ok)[0]
-    idx2 = np.asarray(best_idx)[idx1]
+    idx2 = np.asarray(best_idx)[:n1][idx1]
     return idx1, idx2
 
 
@@ -77,16 +98,21 @@ def match_descriptors(desc1: Descriptors, desc2: Descriptors,
 
 
 @functools.partial(jax.jit, static_argnames=("num_iter", "err_thresh"))
-def _ransac_jit(src, dst, valid, key, num_iter: int, err_thresh: float):
-    """src, dst: f32[M, 3]; valid: bool[M]. Finds affine A (3x4) minimizing
-    ||A [src;1] - dst|| over the best consensus set."""
+def _ransac_jit(src, dst, valid, n_valid, key, num_iter: int,
+                err_thresh: float):
+    """src, dst: f32[M, 3] (rows >= n_valid are padding); valid: bool[M].
+    Finds affine A (3x4) minimizing ||A [src;1] - dst|| over the best
+    consensus set. M is a power-of-two bucket; n_valid is traced so the
+    compilation is shared across actual correspondence counts."""
     M = src.shape[0]
     ones = jnp.ones((M, 1), jnp.float32)
     X = jnp.concatenate([src, ones], axis=1)          # [M, 4]
 
-    # Random minimal samples: 4 distinct-ish indices per hypothesis.
+    # Random minimal samples: 4 distinct-ish indices per hypothesis, drawn
+    # from the valid prefix only (modulo n_valid; bias is irrelevant here).
     # (Degenerate samples produce singular systems -> nan -> zero inliers.)
-    idx = jax.random.randint(key, (num_iter, 4), 0, M)
+    idx = jax.random.randint(key, (num_iter, 4), 0, jnp.int32(2 ** 31 - 1))
+    idx = idx % jnp.maximum(n_valid, 1)
 
     def fit4(sample_idx):
         Xs = X[sample_idx]                             # [4, 4]
@@ -145,10 +171,15 @@ def ransac_affine(src_pts: np.ndarray, dst_pts: np.ndarray,
     M = len(src_pts)
     if M < 4:
         raise ValueError(f"RANSAC needs at least 4 correspondences, got {M}")
+    Mb = _pow2_bucket(M)
+    valid = np.zeros(Mb, bool)
+    valid[:M] = True
     A, n_inl, mask = _ransac_jit(
-        jnp.asarray(src_pts), jnp.asarray(dst_pts), jnp.ones(M, bool),
-        jax.random.PRNGKey(seed), int(num_iter), float(err_thresh))
-    return np.asarray(A), np.asarray(mask)
+        jnp.asarray(_pad_rows(src_pts, Mb)),
+        jnp.asarray(_pad_rows(dst_pts, Mb)), jnp.asarray(valid),
+        jnp.int32(M), jax.random.PRNGKey(seed), int(num_iter),
+        float(err_thresh))
+    return np.asarray(A), np.asarray(mask)[:M]
 
 
 def register(fixed, moving, params=None, nn_thresh: float = 0.8,
@@ -178,6 +209,52 @@ def register(fixed, moving, params=None, nn_thresh: float = 0.8,
     return RegistrationResult(
         affine=A, num_matches=len(idx_m), num_inliers=int(inl.sum()),
         matches_fixed=pts_f, matches_moving=pts_m, inlier_mask=inl)
+
+
+def register_batch(fixed_vols, moving_vols, params=None,
+                   nn_thresh: float = 0.8, err_thresh: float = 5.0,
+                   num_iter: int = 500, kp_limit: int = 0, seed: int = 0,
+                   units=(1.0, 1.0, 1.0)) -> "list[RegistrationResult]":
+    """Register B same-shape volume pairs (BASELINE config 5).
+
+    All 2B volumes run through ONE batched detection program
+    (SIFT3D.detect_keypoints_batch); pass the stacked arrays pre-sharded
+    over a device mesh batch axis to distribute the work over ICI.
+    Matching + RANSAC are per-pair (small, bucket-cached jits).
+
+    A pair with fewer than 4 matches yields affine=None, num_inliers=0.
+    """
+    from .pipeline import SIFT3D
+
+    B = len(fixed_vols)
+    if len(moving_vols) != B:
+        raise ValueError("fixed/moving batch sizes differ")
+    det = SIFT3D(params) if params else SIFT3D()
+    import jax.numpy as jnp_
+    vols = jnp_.concatenate([jnp_.asarray(fixed_vols, jnp_.float32),
+                             jnp_.asarray(moving_vols, jnp_.float32)])
+    kps = det.detect_keypoints_batch(vols, units)
+    if kp_limit:
+        kps = [k.sort_by_strength(kp_limit) for k in kps]
+    dss = det.extract_descriptors_batch(kps)
+
+    out = []
+    for b in range(B):
+        ds_f, ds_m = dss[b], dss[B + b]
+        idx_m, idx_f = match_descriptors(ds_m, ds_f, nn_thresh)
+        pts_m = ds_m.xyz[idx_m]
+        pts_f = ds_f.xyz[idx_f]
+        if len(idx_m) < 4:
+            out.append(RegistrationResult(
+                affine=None, num_matches=len(idx_m), num_inliers=0,
+                matches_fixed=pts_f, matches_moving=pts_m,
+                inlier_mask=np.zeros(len(idx_m), bool)))
+            continue
+        A, inl = ransac_affine(pts_m, pts_f, err_thresh, num_iter, seed)
+        out.append(RegistrationResult(
+            affine=A, num_matches=len(idx_m), num_inliers=int(inl.sum()),
+            matches_fixed=pts_f, matches_moving=pts_m, inlier_mask=inl))
+    return out
 
 
 # ---------------------------------------------------------------------------

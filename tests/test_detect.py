@@ -102,3 +102,30 @@ def test_default_capacity_bounds():
     assert default_capacity(8 ** 3) == 128
     assert default_capacity(64 ** 3) == 512
     assert default_capacity(10 ** 9) == 4096
+
+
+def test_detection_funnel_consistency():
+    """The per-stage funnel must be internally consistent and account for
+    every candidate: candidates - grad - ratio - corner == survivors, and
+    survivors must sum to the keypoint count."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from conftest import make_phantom
+    import sift3d_tpu as s3d
+    from sift3d_tpu.profiling import detect_stats, format_funnel
+
+    det = s3d.SIFT3D()
+    kp = det.detect_keypoints(make_phantom(48))
+    stats = detect_stats(det, kp)
+    assert stats["funnel"], "funnel not collected"
+    total = stats["funnel"]["total"]
+    assert (total["candidates"] - total["reject_grad"]
+            - total["reject_ratio"] - total["reject_corner"]
+            == total["survivors"])
+    assert total["survivors"] == len(kp)
+    for name, f in stats["funnel"].items():
+        assert (f["candidates"] - f["reject_grad"] - f["reject_ratio"]
+                - f["reject_corner"] == f["survivors"]), name
+    # renders without error
+    assert "candidates" in format_funnel(stats)

@@ -20,6 +20,41 @@ def test_nifti_roundtrip(tmp_path):
         assert units == (1.0, 1.5, 2.0)
 
 
+def test_hdr_img_pair_roundtrip(tmp_path):
+    """A .hdr/.img pair must read back from EITHER member's name, the way
+    nifticlib resolves the sibling (reference imutil.c:318-331,
+    nifti.c:52-62)."""
+    rng = np.random.default_rng(1)
+    vol = rng.normal(size=(7, 9, 11)).astype(np.float32)
+    for hdr_name in ("p.hdr", "q.img", "r.img.gz"):
+        p = tmp_path / hdr_name
+        write_nifti(p, vol, units=(1.0, 1.25, 2.0))
+        stem = str(p)
+        for s in (".hdr.gz", ".img.gz", ".hdr", ".img"):
+            if stem.endswith(s):
+                stem = stem[:-len(s)]
+                break
+        suffix = ".gz" if hdr_name.endswith(".gz") else ""
+        # both members exist on disk
+        import os
+        assert os.path.exists(stem + ".hdr" + suffix)
+        assert os.path.exists(stem + ".img" + suffix)
+        # read via both names
+        for member in (".hdr", ".img"):
+            data, units = read_nifti(stem + member + suffix)
+            np.testing.assert_array_equal(data, vol)
+            assert units == (1.0, 1.25, 2.0)
+
+
+def test_img_read_via_read_volume(tmp_path):
+    vol = np.arange(8 * 9 * 10, dtype=np.float32).reshape(8, 9, 10)
+    write_nifti(tmp_path / "v.img", vol)
+    v = read_volume(tmp_path / "v.img")
+    np.testing.assert_array_equal(np.asarray(v.data), vol)
+    v2 = read_volume(tmp_path / "v.hdr")
+    np.testing.assert_array_equal(np.asarray(v2.data), vol)
+
+
 def test_nifti_dtypes_and_scaling(tmp_path):
     """Integer NIfTI with scl_slope/inter must be scaled on read
     (reference nifti.c:101-111)."""

@@ -58,18 +58,52 @@ def test_minimum_size_volume():
 
 
 def test_sphere_phantom_parity(tmp_path):
-    """BASELINE config 1: hard-edged sphere phantom at 64^3."""
+    """BASELINE config 1: hard-edged sphere phantom at 64^3. Dense candidate
+    populations must be handled exactly (capacity-overflow auto-retry) with
+    no user-facing overflow warning."""
+    import warnings
+
     import sift3d_tpu as s3d
     from conftest import make_sphere_phantom
 
     vol = make_sphere_phantom(64)
     res = run_oracle(vol, tmp_path / "sph")
-    kp = s3d.SIFT3D().detect_keypoints(vol)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        kp = s3d.SIFT3D().detect_keypoints(vol)
+    assert not [w for w in rec if "overflow" in str(w.message)]
     ref = res.keypoints
     assert len(kp) == len(ref)
     if len(kp):
         assert np.array_equal(kp.coords, ref[:, 1:4])
         assert np.allclose(kp.strength, ref[:, 0], atol=1e-6)
+
+
+def test_capacity_overflow_retry_exact(tmp_path):
+    """Force the overflow-retry path (tiny per-level capacity) and require
+    oracle-exact results: the reference never drops candidates
+    (SIFT3D_RESIZE_SLAB growth, immacros.h:199-222), so neither may we."""
+    import warnings
+
+    import sift3d_tpu as s3d
+
+    vol = phantom_shape((48, 48, 48), 8, nblobs=40)
+    res = run_oracle(vol, tmp_path / "ovf")
+    params = s3d.DetectorParams(kp_per_level=8)  # far below real counts
+    det = s3d.SIFT3D(params)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        kp = det.detect_keypoints(vol)
+    assert not [w for w in rec if "overflow" in str(w.message)]
+    ref = res.keypoints
+    assert len(kp) == len(ref)
+    assert np.array_equal(kp.coords, ref[:, 1:4])
+    assert np.allclose(kp.strength, ref[:, 0], atol=1e-6)
+    desc = det.extract_descriptors(kp)
+    dref = res.descriptors
+    num = np.linalg.norm(dref[:, 4:] - desc.data, axis=1)
+    den = np.linalg.norm(dref[:, 4:], axis=1) + 1e-30
+    assert np.mean(num / den < 0.01) >= 0.99
 
 
 def test_high_candidate_count_fallback(tmp_path):

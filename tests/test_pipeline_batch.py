@@ -21,3 +21,28 @@ def test_batch_matches_individual():
         assert np.allclose(kps[b].strength, ref_kp.strength, atol=1e-7)
         ref_desc = ref_det.extract_descriptors(ref_kp)
         assert np.allclose(descs[b].data, ref_desc.data, atol=1e-5)
+
+
+def test_batch_with_extensions_matches_individual():
+    """Refinement + edge rejection must work in the batched path and agree
+    with the per-volume detector."""
+    import numpy as np
+    import sift3d_tpu as s3d
+    from conftest import make_phantom
+
+    params = s3d.DetectorParams(refine_subvoxel=True, edge_thresh=10.0)
+    vols = np.stack([make_phantom(48, seed=s) for s in (7, 11)])
+    det_b = s3d.SIFT3D(params)
+    kps = det_b.detect_keypoints_batch(vols)
+    descs = det_b.extract_descriptors_batch(kps)
+    assert any(len(k) > 0 for k in kps), "phantoms produced no keypoints"
+    for b in range(2):
+        det1 = s3d.SIFT3D(params)
+        ref = det1.detect_keypoints(vols[b])
+        assert len(kps[b]) == len(ref)
+        if len(ref) == 0:
+            continue
+        np.testing.assert_allclose(kps[b].coords, ref.coords, atol=1e-5)
+        np.testing.assert_allclose(kps[b].sd, ref.sd, rtol=1e-6)
+        d1 = det1.extract_descriptors(ref)
+        assert np.abs(descs[b].data - d1.data).max() < 1e-4

@@ -83,3 +83,33 @@ def test_register_end_to_end():
     p_est = res.affine @ np.c_[pts, np.ones(100)].T
     p_true = A_inv @ np.c_[pts, np.ones(100)].T
     assert np.abs(p_est - p_true).max() < 2.5
+
+
+def test_register_batch_matches_single():
+    """register_batch (one batched detection program for all volumes) must
+    agree with per-pair register()."""
+    from sift3d_tpu.registration import register, register_batch, \
+        warp_volume
+    from sift3d_tpu.volume import Volume
+
+    pairs = []
+    for seed in (11, 23):
+        fixed = Volume.from_array(make_phantom(48, nblobs=40, seed=seed))
+        th = np.deg2rad(6.0)
+        Rz = np.array([[np.cos(th), -np.sin(th), 0],
+                       [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        c = np.array([23.5] * 3)
+        A = np.zeros((3, 4), np.float32)
+        A[:, :3] = Rz
+        A[:, 3] = c - Rz @ c + np.array([1.5, -2.0, 1.0])
+        moving = warp_volume(fixed, A, (48, 48, 48))
+        pairs.append((fixed, moving))
+
+    fixed_b = np.stack([np.asarray(p[0].data) for p in pairs])
+    moving_b = np.stack([np.asarray(p[1].data) for p in pairs])
+    batch = register_batch(fixed_b, moving_b, num_iter=300)
+    for (fixed, moving), rb in zip(pairs, batch):
+        rs = register(fixed, moving, num_iter=300)
+        assert rb.num_matches == rs.num_matches
+        assert rb.num_inliers == rs.num_inliers
+        np.testing.assert_allclose(rb.affine, rs.affine, atol=1e-4)

@@ -77,6 +77,10 @@ def main():
               f"({len(kp)} keypoints)")
         print(f"{'extract_descriptors e2e':<44}{(t2-t1)*1e3:>10.2f} ms")
 
+    from sift3d_tpu.profiling import detect_stats, format_funnel
+    print("\ndetection funnel (candidates -> rejections -> survivors):")
+    print(format_funnel(detect_stats(det, kp)))
+
 
 if __name__ == "__main__":
     main()
