@@ -219,8 +219,12 @@ def _prep_window(level, coord, center, R, sd,
     a tile multiple. Masked voxels have their gradient zeroed (their
     contribution vanishes because the kernel scales by |grot|). When `lvl`
     is given, `level` is a stacked [L, nx, ny, nz] array and the window
-    gathers from level lvl."""
-    prec = jax.lax.Precision.HIGHEST
+    gathers from level lvl.
+
+    Everything here is elementwise over the 3-D window — the 3x3 rotation is
+    unrolled into scalar-weighted sums rather than an [M, 3] matmul, so XLA
+    fuses the whole prep into a few VPU passes with no lane-hostile [*, 3]
+    relayouts (those dominated the per-keypoint cost before)."""
     nb = NHIST_PER_DIM
 
     sigma = sd * jnp.float32(params.desc_sig_fctr)
@@ -237,9 +241,9 @@ def _prep_window(level, coord, center, R, sd,
         level = level[0]  # only the 3-D dims are used below
     ux, uy, uz = (np.float32(u) for u in units)
     inv_u = tuple(np.float32(1.0) / u for u in (ux, uy, uz))
-    gx = 0.5 * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) * inv_u[0]
-    gy = 0.5 * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) * inv_u[1]
-    gz = 0.5 * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) * inv_u[2]
+    g3 = (0.5 * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) * inv_u[0],
+          0.5 * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) * inv_u[1],
+          0.5 * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) * inv_u[2])
 
     ishape = tuple(g - 2 for g in extents)
     cx, cy, cz = center[0], center[1], center[2]
@@ -254,28 +258,34 @@ def _prep_window(level, coord, center, R, sd,
         mask &= ((axes[a] >= lo.astype(jnp.int32))
                  & (axes[a] <= hi.astype(jnp.int32)))
 
-    dx = (axes[0].astype(jnp.float32) - cx) * ux
-    dy = (axes[1].astype(jnp.float32) - cy) * uy
-    dz = (axes[2].astype(jnp.float32) - cz) * uz
-    sq = dx * dx + dy * dy + dz * dz
+    d3 = ((axes[0].astype(jnp.float32) - cx) * ux,
+          (axes[1].astype(jnp.float32) - cy) * uy,
+          (axes[2].astype(jnp.float32) - cz) * uz)
+    sq = d3[0] * d3[0] + d3[1] * d3[1] + d3[2] * d3[2]
     mask &= sq <= win_radius * win_radius
 
-    vim = jnp.stack([dx.ravel(), dy.ravel(), dz.ravel()], axis=-1)
-    vkp = jnp.einsum("ni,ij->nj", vim, R, precision=prec)
-    vbins = (vkp + desc_half_width) * desc_bin_fctr
-    mask = mask.ravel() & jnp.all((vbins >= 0.0) & (vbins < float(nb)),
-                                  axis=-1)
+    # vkp = R^T vim, unrolled per output component (3-D elementwise).
+    vbins3 = []
+    for j in range(3):
+        vkp_j = d3[0] * R[0, j] + d3[1] * R[1, j] + d3[2] * R[2, j]
+        vb_j = (vkp_j + desc_half_width) * desc_bin_fctr
+        mask &= (vb_j >= 0.0) & (vb_j < float(nb))
+        vbins3.append(vb_j)
 
-    w = jnp.exp(-0.5 * sq.ravel() / (sigma * sigma))
-    g = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
-    grot = jnp.einsum("ni,ij->nj", w[:, None] * g, R, precision=prec)
-    grot = jnp.where(mask[:, None], grot, 0.0)
+    w = jnp.where(mask, jnp.exp(-0.5 * sq / (sigma * sigma)), 0.0)
+    wg = tuple(w * g for g in g3)
+    grot3 = [wg[0] * R[0, j] + wg[1] * R[1, j] + wg[2] * R[2, j]
+             for j in range(3)]
 
-    M = grot.shape[0]
+    M = ishape[0] * ishape[1] * ishape[2]
     Mp = -(-M // tile) * tile
-    grot = jnp.pad(grot, ((0, Mp - M), (0, 0)))
-    vbins = jnp.pad(vbins, ((0, Mp - M), (0, 0)))
-    return grot.T, vbins.T          # [3, Mp] each
+
+    def fp(a):
+        return jnp.pad(a.reshape(-1), (0, Mp - M))
+
+    grot = jnp.stack([fp(a) for a in grot3])    # [3, Mp]
+    vbins = jnp.stack([fp(a) for a in vbins3])  # [3, Mp]
+    return grot, vbins
 
 
 def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
@@ -286,7 +296,7 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
     from .ops.desc_kernel import desc_hist_pallas
 
     K = coords.shape[0]
-    tile = 2048
+    tile = 8192
     if level_index is None:
         level_index = jnp.zeros((K,), jnp.int32)
         lvl_arg = None

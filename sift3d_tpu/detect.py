@@ -38,9 +38,11 @@ class LevelCandidates(NamedTuple):
 def default_capacity(nvox: int) -> int:
     """Auto candidate capacity per level. Extrema are sparse (well under
     0.1% of voxels on real data); slot-resolution work in the compaction is
-    proportional to the capacity, so keep it tight — overflow is detected
-    and reported, and DetectorParams.kp_per_level overrides."""
-    return int(min(4096, max(128, nvox // 512)))
+    proportional to the capacity, so keep it tight — overflow auto-retries
+    the octave with an enlarged store (pipeline._redetect_octave_fn), so a
+    low default costs one extra dispatch on dense data rather than dropped
+    candidates. DetectorParams.kp_per_level overrides."""
+    return int(min(2048, max(128, nvox // 2048)))
 
 
 def _shift(a: jnp.ndarray, dx: int, dy: int, dz: int) -> jnp.ndarray:

@@ -100,8 +100,9 @@ def test_cuboid_extrema_stricter():
 
 def test_default_capacity_bounds():
     assert default_capacity(8 ** 3) == 128
-    assert default_capacity(64 ** 3) == 512
-    assert default_capacity(10 ** 9) == 4096
+    assert default_capacity(64 ** 3) == 128
+    assert default_capacity(256 ** 3) == 2048
+    assert default_capacity(10 ** 9) == 2048
 
 
 def test_detection_funnel_consistency():
