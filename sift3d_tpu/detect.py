@@ -199,16 +199,28 @@ def detect_extrema_octave(dog_oct: jnp.ndarray, params: DetectorParams,
 
     counts = jnp.sum(mask, axis=(1, 2, 3), dtype=jnp.int32)      # [nl]
 
-    # Joint compaction in (level, z, y, x) order.
+    # Compact in the mask's natural (l, x, y, z) memory order — a device
+    # transpose of the full [nl, nx, ny, nz] mask into scan order was
+    # measured to dominate the detect jit — then restore the reference's
+    # (level, z, y, x) candidate order by sorting the <= capacity kept
+    # candidates by their scan key. The kept SET equals the full candidate
+    # set whenever counts <= capacity (the overflow path re-detects with an
+    # enlarged store, so truncated results are never used), making the
+    # post-sort order exactly the reference's.
     mx, my, mz = nx - 2, ny - 2, nz - 2
-    flat = mask.transpose(0, 3, 2, 1).ravel()    # (l, z, y, x) order
-    flat_idx, valid, _ = compact_flat(flat, capacity)
-    lvl = flat_idx // (mz * my * mx)
-    rem = flat_idx - lvl * (mz * my * mx)
-    zz = rem // (my * mx)
-    rem = rem - zz * (my * mx)
-    yy = rem // mx
-    xx = rem - yy * mx
+    flat_idx, valid, _ = compact_flat(mask.ravel(), capacity)
+    lvl = flat_idx // (mx * my * mz)
+    rem = flat_idx - lvl * (mx * my * mz)
+    xx = rem // (my * mz)
+    rem = rem - xx * (my * mz)
+    yy = rem // mz
+    zz = rem - yy * mz
+
+    key = ((lvl * mz + zz) * my + yy) * mx + xx     # (l, z, y, x) rank
+    big = jnp.int32(2 ** 31 - 1)
+    order = jnp.argsort(jnp.where(valid, key, big))
+    lvl, xx, yy, zz, valid = (a[order] for a in (lvl, xx, yy, zz, valid))
+
     strength = jnp.where(
         valid, jnp.abs(pcur)[lvl, xx, yy, zz], 0.0).astype(jnp.float32)
     coords = jnp.where(valid[:, None],

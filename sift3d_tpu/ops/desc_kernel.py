@@ -12,7 +12,7 @@ intermediates in HBM per chunk; this kernel keeps everything in VMEM:
   constants:
      mt    [60, 3]  Moller-Trumbore face constants (geometry.MT_MATRIX^T)
      kc    [20, 1]  face k-constants
-     fv    [20, 3]  vertex bin indices per face (float)
+     eb    [36, 20] vertex-slot one-hots (E_BARY transposed, stacked)
   output:
      hist  [16, 48] = [(cz,cy), (cx,v)] partial histogram
 
@@ -38,7 +38,7 @@ from ..params import ICOS_NVERT, NHIST_PER_DIM
 NB = NHIST_PER_DIM
 
 
-def _kernel(grot_ref, vbins_ref, mt_ref, kc_ref, fv_ref, out_ref, acc):
+def _kernel(grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref, out_ref, acc):
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
 
@@ -46,19 +46,36 @@ def _kernel(grot_ref, vbins_ref, mt_ref, kc_ref, fv_ref, out_ref, acc):
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    g = grot_ref[0]          # [3, T]
-    vb = vbins_ref[0]        # [3, T]
-    mt = mt_ref[:]           # [60, 3]
-    kc = kc_ref[:]           # [20, 1]
-    fv = fv_ref[:]           # [20, 3]
+    ZY, P = _face_hist(grot_ref[0], vbins_ref[0], mt_ref[:], kc_ref[:],
+                       eb_ref[:])
+    acc[:] += jax.lax.dot_general(
+        ZY, P, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(c == n_c - 1)
+    def _():
+        out_ref[0] = acc[:]
+
+
+def _face_hist(g, vb, mt, kc, eb):
+    """Shared per-keypoint math: (ZY [16, T], P [48, T]) from g/vb [3, T].
+
+    Exact semantics of descriptor.py's XLA path (first valid face in face
+    order wins, division-free hit tests, sift.c:1254-1291). eb is the
+    [36, 20] constant stacking E_BARY[:, j, :]^T for j = 0..2 (vertex-slot
+    one-hots), letting the vertex scatter run as one MXU dot against the
+    face one-hot instead of VPU index extraction."""
     T = g.shape[1]
     eps = jnp.float32(1.1920928955078125e-06)  # bary_eps (sift.c:40)
 
-    # F[60, T] = mt @ g : 3-term broadcast sum (K=3 matmul wastes the MXU).
-    F = (mt[:, 0:1] * g[0:1, :] + mt[:, 1:2] * g[1:2, :]
-         + mt[:, 2:3] * g[2:3, :])
+    # F[60, T] = mt @ g. K=3 underuses the MXU's systolic depth, but the
+    # MXU runs in parallel with the VPU, which is the bottleneck here.
+    F = jax.lax.dot_general(mt, g, dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     dets, ynum, znum = F[:20], F[20:40], F[40:60]
-    sgn = jnp.sign(dets)
+    # where(>= 0) instead of sign(): det == 0 yields adet = 0 < eps, so the
+    # face is invalid either way and the kc test difference is unreachable.
+    sgn = jnp.where(dets >= 0.0, 1.0, -1.0)
     adet = dets * sgn
     neg_eps_adet = -eps * adet
     ysn = ynum * sgn
@@ -70,10 +87,11 @@ def _kernel(grot_ref, vbins_ref, mt_ref, kc_ref, fv_ref, out_ref, acc):
     first = jnp.min(jnp.where(validf, iota20, 20), axis=0)       # [T]
     anyf = first < 20
     onehot = (iota20 == jnp.minimum(first, 19)[None, :])         # [20, T]
+    onehotf = onehot.astype(jnp.float32)
 
-    det_s = jnp.sum(jnp.where(onehot, dets, 0.0), axis=0)
-    yn_s = jnp.sum(jnp.where(onehot, ynum, 0.0), axis=0)
-    zn_s = jnp.sum(jnp.where(onehot, znum, 0.0), axis=0)
+    det_s = jnp.sum(onehotf * dets, axis=0)
+    yn_s = jnp.sum(onehotf * ynum, axis=0)
+    zn_s = jnp.sum(onehotf * znum, axis=0)
     inv = jnp.where(det_s != 0.0, 1.0 / det_s, 0.0)
     ys = yn_s * inv
     zs = zn_s * inv
@@ -82,17 +100,14 @@ def _kernel(grot_ref, vbins_ref, mt_ref, kc_ref, fv_ref, out_ref, acc):
     gsq = g[0] * g[0] + g[1] * g[1] + g[2] * g[2]
     mag = jnp.where(anyf & (gsq >= eps), jnp.sqrt(gsq), 0.0)     # [T]
 
-    # vertex bin index per bary slot (int32): [3, T]
-    fvi = fv.astype(jnp.int32)
-    vidx = jnp.stack([
-        jnp.sum(jnp.where(onehot, fvi[:, j:j + 1], 0), axis=0)
-        for j in range(3)])
-    baryw = jnp.stack([xs, ys, zs]) * mag[None, :]               # [3, T]
-
-    iota12 = jax.lax.broadcasted_iota(jnp.int32, (ICOS_NVERT, T), 0)
-    B = (baryw[0:1] * (vidx[0:1] == iota12)
-         + baryw[1:2] * (vidx[1:2] == iota12)
-         + baryw[2:3] * (vidx[2:3] == iota12))                   # [12, T]
+    # Vertex scatter on the MXU: G[36, T] = eb @ onehot; rows j*12..j*12+11
+    # hold the vertex one-hot of bary slot j for each voxel's face.
+    G = jax.lax.dot_general(eb, onehotf,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    B = (G[0:ICOS_NVERT] * xs[None, :]
+         + G[ICOS_NVERT:2 * ICOS_NVERT] * ys[None, :]
+         + G[2 * ICOS_NVERT:] * zs[None, :]) * mag[None, :]      # [12, T]
 
     iota4 = jax.lax.broadcasted_iota(jnp.int32, (NB, T), 0)
 
@@ -107,21 +122,96 @@ def _kernel(grot_ref, vbins_ref, mt_ref, kc_ref, fv_ref, out_ref, acc):
     Sy = sparse4(vb[1])
     Sz = sparse4(vb[2])
 
-    # ZY [16, T], P [48, T]; hist += ZY @ P^T on the MXU.
     ZY = (Sz[:, None, :] * Sy[None, :, :]).reshape(NB * NB, T)
     P = (Sx[:, None, :] * B[None, :, :]).reshape(NB * ICOS_NVERT, T)
+    return ZY, P
+
+
+_G = 8  # keypoints packed per grid step in the batched kernel
+
+
+def _kernel_packed(grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref, out_ref,
+                   acc, zy_s, p_s):
+    """8 keypoints per grid step; their [16,T]x[T,48] histogram
+    contractions fuse into ONE [128,T]x[T,384] MXU pass (only the 8
+    diagonal [16,48] blocks of the result are used — the wasted cross
+    blocks are free because the MXU pass length is set by T, not M x N)."""
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    mt = mt_ref[:]
+    kc = kc_ref[:]
+    eb = eb_ref[:]
+    for j in range(_G):
+        ZY, P = _face_hist(grot_ref[j], vbins_ref[j], mt, kc, eb)
+        zy_s[j * NB * NB:(j + 1) * NB * NB, :] = ZY
+        p_s[j * NB * ICOS_NVERT:(j + 1) * NB * ICOS_NVERT, :] = P
+
     acc[:] += jax.lax.dot_general(
-        ZY, P, dimension_numbers=(((1,), (1,)), ((), ())),
+        zy_s[:], p_s[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(c == n_c - 1)
     def _():
-        out_ref[0] = acc[:]
+        for j in range(_G):
+            out_ref[j] = acc[j * NB * NB:(j + 1) * NB * NB,
+                             j * NB * ICOS_NVERT:(j + 1) * NB * ICOS_NVERT]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def desc_hist_pallas(grot, vbins, interpret: bool = False):
     """Histograms [K, 16, 48] from grot/vbins [K, 3, N] (N % 512 == 0)."""
+    K, _, N = grot.shape
+    if K % _G == 0:
+        return _desc_hist_packed(grot, vbins, interpret)
+    return _desc_hist_single(grot, vbins, interpret)
+
+
+def _desc_hist_packed(grot, vbins, interpret: bool = False):
+    K, _, N = grot.shape
+    TILE = next(t for t in (2048, 512, 128) if N % t == 0)
+
+    mt = jnp.asarray(geometry.MT_MATRIX.T)                  # [60, 3]
+    kc = jnp.asarray(geometry.K_CONST[:, None])             # [20, 1]
+    eb = jnp.asarray(np.concatenate(
+        [geometry.E_BARY[:, j, :].T for j in range(3)]))    # [36, 20]
+
+    grid = (K // _G, N // TILE)
+    M_zy, M_p = _G * NB * NB, _G * NB * ICOS_NVERT
+    return pl.pallas_call(
+        _kernel_packed,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_G, 3, TILE), lambda k, c: (k, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_G, 3, TILE), lambda k, c: (k, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((60, 3), lambda k, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((20, 1), lambda k, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((36, 20), lambda k, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_G, NB * NB, NB * ICOS_NVERT),
+                               lambda k, c: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, NB * NB, NB * ICOS_NVERT),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((M_zy, M_p), jnp.float32),
+            pltpu.VMEM((M_zy, TILE), jnp.float32),
+            pltpu.VMEM((M_p, TILE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(grot, vbins, mt, kc, eb)
+
+
+def _desc_hist_single(grot, vbins, interpret: bool = False):
     K, _, N = grot.shape
     # Large tiles amortize the per-grid-step fixed cost (measured dominant
     # at TILE=2048: ~54 steps/keypoint cost ~140 us/kp; the VPU work itself
@@ -131,7 +221,8 @@ def desc_hist_pallas(grot, vbins, interpret: bool = False):
 
     mt = jnp.asarray(geometry.MT_MATRIX.T)                  # [60, 3]
     kc = jnp.asarray(geometry.K_CONST[:, None])             # [20, 1]
-    fv = jnp.asarray(geometry.FACE_IDX.astype(np.float32))  # [20, 3]
+    eb = jnp.asarray(np.concatenate(
+        [geometry.E_BARY[:, j, :].T for j in range(3)]))    # [36, 20]
 
     grid = (K, N // TILE)
     return pl.pallas_call(
@@ -146,7 +237,7 @@ def desc_hist_pallas(grot, vbins, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((20, 1), lambda k, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 3), lambda k, c: (0, 0),
+            pl.BlockSpec((36, 20), lambda k, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, NB * NB, NB * ICOS_NVERT),
@@ -156,4 +247,4 @@ def desc_hist_pallas(grot, vbins, interpret: bool = False):
                                        jnp.float32),
         scratch_shapes=[pltpu.VMEM((NB * NB, NB * ICOS_NVERT), jnp.float32)],
         interpret=interpret,
-    )(grot, vbins, mt, kc, fv)
+    )(grot, vbins, mt, kc, eb)

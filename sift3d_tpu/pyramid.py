@@ -190,26 +190,33 @@ def _composed_matrices(plan: PyramidPlan, octave: int):
         (Wx_i ... Wx_1) x (Wy_i ... Wy_1) x (Wz_i ... Wz_1) @ src.
     Composing on the host (float64 accumulate) turns an octave's whole level
     chain into three batched matmuls. Octave 0 folds the initial
-    sigma_n -> sigma(first level) blur into every product; deeper octaves
-    start at the downsampled source (level 0 = identity, skipped here).
+    sigma_n -> sigma(first level) blur into every product. Deeper octaves
+    fold the 2x downsample (strided row selection, im_downsample_2x,
+    imutil.c:591-617) into every product as a rectangular [n_o, n_prev]
+    selection factor — a device-side strided gather feeding the MXU was
+    measured ~30x slower than the extra rectangular matmul work.
 
-    Returns [n_levels_out, n, n] float32 per axis; for octave 0 the leading
-    output level is stacked level 0, for others stacked level 1.
+    Returns [num_gpyr_levels, n_out, n_src] float32 per axis; row 0 is
+    stacked level 0 (octave 0: the sigma_n -> first-level blur of the
+    input; deeper octaves: the pure downsample selection of the previous
+    octave's level L-3).
     """
     L = plan.num_gpyr_levels
     out_per_axis = []
     for a in range(3):
-        prods = []
         if octave == 0:
             acc = np.asarray(plan.conv_matrices(0, plan.first_taps)[a],
                              np.float64)
-            prods.append(acc)
         else:
-            acc = None
+            n_o = plan.octave_dims[octave][a]
+            n_prev = plan.octave_dims[octave - 1][a]
+            acc = np.zeros((n_o, n_prev), np.float64)
+            acc[np.arange(n_o), 2 * np.arange(n_o)] = 1.0
+        prods = [acc]
         for i in range(1, L):
             W = np.asarray(plan.conv_matrices(octave, plan.level_taps[i])[a],
                            np.float64)
-            acc = W if acc is None else W @ acc
+            acc = W @ acc
             prods.append(acc)
         out_per_axis.append(np.stack(prods).astype(np.float32))
     return out_per_axis
@@ -222,25 +229,22 @@ def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
     [num_gpyr_levels, nx_o, ny_o, nz_o]; stacked index i corresponds to raw
     level s = i + first_level.
 
-    Every level of an octave is computed directly from the octave source
-    through composed per-axis operators (see _composed_matrices): three
-    batched MXU matmuls per octave instead of 3 * num_levels sequential
-    passes.
+    Every level of an octave is computed directly from the previous
+    octave's source level through composed per-axis operators (see
+    _composed_matrices): three batched MXU matmuls per octave, with the 2x
+    downsample folded into the operators for deeper octaves.
     """
     params = plan.params
     prec = _precision(params)
     L = plan.num_gpyr_levels
     octaves = []
     for o in range(plan.num_octaves):
-        src = vol if o == 0 else downsample_2x(octaves[o - 1][L - 3])
+        src = vol if o == 0 else octaves[o - 1][L - 3]
         Px, Py, Pz = (jnp.asarray(P) for P in _composed_matrices(plan, o))
         lv = jnp.einsum("lab,byz->layz", Px, src, precision=prec)
         lv = jnp.einsum("lab,lxbz->lxaz", Py, lv, precision=prec)
         lv = jnp.einsum("lab,lxyb->lxya", Pz, lv, precision=prec)
-        if o == 0:
-            octaves.append(lv)
-        else:
-            octaves.append(jnp.concatenate([src[None], lv], axis=0))
+        octaves.append(lv)
     return octaves
 
 
