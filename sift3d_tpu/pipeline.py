@@ -225,6 +225,44 @@ def _extract_oct_fn(plan: PyramidPlan, octave: int, bucket: int,
     return run
 
 
+@functools.lru_cache(maxsize=256)
+def _spec_desc_fn(plan: PyramidPlan, octave: int, spec: int, dslots: int):
+    """Speculative descriptor extraction fused with on-device compaction of
+    orientation-accepted candidates: slot j holds the j-th accepted
+    candidate (candidate order), so results line up with the keypoints the
+    host later assembles from the same masks. Lets descriptors dispatch
+    before ANY result reaches the host — detect+extract then costs a single
+    device round-trip (the device may sit behind a high-latency link)."""
+    from .detect import compact_flat
+
+    params = plan.params
+    nl = params.num_kp_levels
+    units = plan.level_units(octave)
+    scales = np.asarray(
+        [plan.scales[octave][1 + li] for li in range(nl)], np.float32)
+    sd_max = float(scales.max())
+
+    @jax.jit
+    def run(gpyr_oct, coords, level, accepted, R):
+        idx, dvalid, acc_count = compact_flat(accepted, dslots)
+        co = coords[:spec][idx]
+        lv = level[:spec][idx]
+        res = _extract_level(
+            gpyr_oct[1:1 + nl], co, R[idx], dvalid,
+            jnp.asarray(scales)[lv], octave, units, params,
+            centers=co.astype(jnp.float32), sd_max=sd_max,
+            level_index=lv, fractional_centers=False)
+        return acc_count, res
+
+    return run
+
+
+def _quantize_slots(n: int, cap: int = 256) -> int:
+    """Speculative descriptor slot count: next power of two (>= 8) of the
+    previously observed accepted count, capped."""
+    return int(min(cap, max(8, 1 << (max(n, 1) - 1).bit_length())))
+
+
 @functools.lru_cache(maxsize=16)
 def _detect_batch_fn(plan: PyramidPlan, batch: int):
     """Batched detection: one compiled program for B volumes (vmap). Shared
@@ -278,6 +316,13 @@ class SIFT3D:
         # Per-(octave, level) rejection funnel of the last detection
         # (profiling.detect_stats renders it).
         self._funnel: dict | None = None
+        # Speculative-descriptor state: per-octave accepted counts observed
+        # on the previous detection with this plan (sizes the next
+        # speculative descriptor dispatch), and the resulting descriptor
+        # cache keyed by keypoint identity.
+        self._desc_hint: dict[int, int] | None = None
+        self._desc_hint_plan = None
+        self._spec_desc_cache: dict | None = None
 
     # -- detection ----------------------------------------------------------
 
@@ -297,8 +342,13 @@ class SIFT3D:
         extensions = (self.params.refine_subvoxel
                       or self.params.edge_thresh is not None)
         spec_oris = None
+        spec_descs = {}
+        self._spec_desc_cache = None
         if not extensions:
+            hint = (self._desc_hint
+                    if self._desc_hint_plan == plan else None)
             spec_raw = []
+            spec_desc_raw = []  # (octave, spec, dslots, device payload)
             for o, (cand, _) in enumerate(per_oct):
                 spec = min(_SPEC_ORI_SLOTS, caps[o])
                 ori = _orient_octave_fn(plan, o, spec)(
@@ -309,15 +359,30 @@ class SIFT3D:
                                         ori.R, ori.accepted, None,
                                         (ori.reject_grad, ori.reject_ratio,
                                          ori.reject_corner))))
+                if hint is not None and o in hint:
+                    # Speculative descriptors: extract for the accepted
+                    # candidates (compacted on device) before any count
+                    # reaches the host. Slot count comes from the previous
+                    # detection's accepted count on this plan, so the
+                    # wasted work is at most the pow2 rounding.
+                    dslots = _quantize_slots(hint[o])
+                    out = _spec_desc_fn(plan, o, spec, dslots)(
+                        gpyr[o], cand.coords, cand.level, ori.accepted,
+                        ori.R)
+                    spec_desc_raw.append((o, spec, dslots, out))
             # ONE device->host sync for counts AND the speculative
             # orientation results (the device may sit behind a high-latency
             # link — each extra sync costs a full RTT). Octaves whose
             # candidate count fits the speculative window then assemble
             # purely on the host, with no further sync.
-            counts, spec_host = jax.device_get(
+            counts, spec_host, desc_host = jax.device_get(
                 (jnp.stack([c.counts for c, _ in per_oct]),
-                 [p for _, p in spec_raw]))
+                 [p for _, p in spec_raw],
+                 [p for *_, p in spec_desc_raw]))
             spec_oris = [(s, p) for (s, _), p in zip(spec_raw, spec_host)]
+            spec_descs = {o: (spec, dslots, payload)
+                          for (o, spec, dslots, _), payload
+                          in zip(spec_desc_raw, desc_host)}
         else:
             counts = jax.device_get(
                 jnp.stack([c.counts for c, _ in per_oct]))  # [n_oct, nl]
@@ -335,8 +400,34 @@ class SIFT3D:
                 per_oct[o] = _redetect_octave_fn(
                     plan, o, caps[o], extensions)(gpyr[o])
 
-        return self._assemble(plan, caps, per_oct, counts,
-                              lambda o, i: gpyr[o][i], spec_oris)
+        kp = self._assemble(plan, caps, per_oct, counts,
+                            lambda o, i: gpyr[o][i], spec_oris)
+
+        if not extensions:
+            # Learn per-octave accepted counts: they size the next
+            # detection's speculative descriptor dispatch on this plan.
+            self._desc_hint = {o: n for o in range(plan.num_octaves)
+                               if (n := int(np.sum(kp.octave == o))) > 0}
+            self._desc_hint_plan = plan
+            # Validate this round's speculative descriptors and build the
+            # identity-keyed cache extract_descriptors serves from.
+            cache = {}
+            for o, (spec, dslots, (acc_count, res)) in spec_descs.items():
+                total = int(np.sum(counts[o]))
+                n_acc = int(acc_count)
+                if total > spec or n_acc > dslots:
+                    continue   # speculation missed; device path covers it
+                sel = np.nonzero(kp.octave == o)[0]
+                if len(sel) != n_acc:
+                    continue
+                for j, row in enumerate(sel):
+                    key = (o, int(kp.level[row]),
+                           float(kp.coords[row, 0]),
+                           float(kp.coords[row, 1]),
+                           float(kp.coords[row, 2]))
+                    cache[key] = (res.desc[j], res.xyz[j], res.sd[j])
+            self._spec_desc_cache = cache or None
+        return kp
 
     def detect_keypoints_batch(self, vols, units=(1.0, 1.0, 1.0)):
         """Detect keypoints for a batch of same-shape volumes [B, nx, ny,
@@ -568,6 +659,20 @@ class SIFT3D:
         sd_out = np.zeros((n,), np.float32)
         data = np.zeros((n, DESC_NUMEL), np.float32)
 
+        # Serve from the speculative-descriptor cache when it covers every
+        # requested keypoint (identity lookup tolerates sorting/truncation
+        # between detect and extract, as the reference CLI does) — zero
+        # device work, zero round-trips.
+        if self._spec_desc_cache is not None:
+            rows = [self._spec_desc_cache.get(
+                (int(kp.octave[j]), int(kp.level[j]),
+                 float(kp.coords[j, 0]), float(kp.coords[j, 1]),
+                 float(kp.coords[j, 2]))) for j in range(n)]
+            if all(r is not None for r in rows):
+                for j, (d, x, s) in enumerate(rows):
+                    data[j], xyz[j], sd_out[j] = d, x, s
+                return Descriptors(xyz=xyz, sd=sd_out, data=data)
+
         groups: dict[int, list[int]] = {}
         for j in range(n):
             groups.setdefault(int(kp.octave[j]), []).append(j)
@@ -577,9 +682,11 @@ class SIFT3D:
         refined = (not np.all(kp.coords == np.rint(kp.coords))
                    or self.params.refine_subvoxel)
 
-        # One dispatch per octave (mixed levels, per-keypoint scales), then
-        # one batched transfer.
-        pending = []
+        # One dispatch per octave (mixed levels, per-keypoint scales), with
+        # all host->device inputs shipped as ONE device_put pytree (each
+        # small transfer costs a round-trip on a high-latency link), then
+        # one batched device->host transfer of the results.
+        staged = []
         for o, idxs in groups.items():
             cnt = len(idxs)
             bucket = max(8, 1 << (cnt - 1).bit_length())
@@ -595,10 +702,13 @@ class SIFT3D:
             centers[:cnt] = kp.coords[idxs]
             sd_arr[:cnt] = kp.sd[idxs]
             lvl[:cnt] = kp.level[idxs]
-            run = _extract_oct_fn(plan, o, bucket, refined)
-            res = run(self._gpyr[o], jnp.asarray(coords), jnp.asarray(R),
-                      jnp.asarray(valid), jnp.asarray(centers),
-                      jnp.asarray(sd_arr), jnp.asarray(lvl))
+            staged.append((o, idxs, cnt, bucket,
+                           (coords, R, valid, centers, sd_arr, lvl)))
+        dev_args = jax.device_put([s[4] for s in staged])
+        pending = []
+        for (o, idxs, cnt, bucket, _), args in zip(staged, dev_args):
+            res = _extract_oct_fn(plan, o, bucket, refined)(
+                self._gpyr[o], *args)
             pending.append((idxs, cnt, res))
 
         host = jax.device_get([p[2] for p in pending])

@@ -1,0 +1,68 @@
+"""Speculative descriptor dispatch: the second detection on a plan sizes a
+speculative per-octave descriptor extraction from the previous accepted
+counts, and extract_descriptors serves from the resulting cache with no
+device work. Values must be identical to the non-speculative device path.
+"""
+
+import numpy as np
+import pytest
+
+import sift3d_tpu as s3d
+
+
+@pytest.fixture(scope="module")
+def blob_volume():
+    rng = np.random.default_rng(7)
+    n = 48
+    x, y, z = np.meshgrid(*([np.arange(n)] * 3), indexing="ij")
+    vol = np.zeros((n, n, n), np.float32)
+    for _ in range(16):
+        c = rng.uniform(6, n - 6, 3)
+        s = rng.uniform(2, 5, 3)
+        vol += rng.uniform(0.3, 1.0) * np.exp(
+            -(((x - c[0]) / s[0]) ** 2 + ((y - c[1]) / s[1]) ** 2
+              + ((z - c[2]) / s[2]) ** 2)).astype(np.float32)
+    return vol
+
+
+def test_spec_desc_cache_matches_device_path(blob_volume):
+    det = s3d.SIFT3D()
+    kp1 = det.detect_keypoints(blob_volume)
+    assert len(kp1) > 0
+    # First call has no hint -> no speculation; descriptors go through the
+    # device path.
+    d1 = det.extract_descriptors(kp1)
+    assert det._desc_hint  # learned for next time
+
+    kp2 = det.detect_keypoints(blob_volume)
+    assert det._spec_desc_cache, "speculation should cover this volume"
+    np.testing.assert_array_equal(np.asarray(kp1.coords),
+                                  np.asarray(kp2.coords))
+    d2 = det.extract_descriptors(kp2)  # served from cache
+    np.testing.assert_array_equal(d1.data, d2.data)
+    np.testing.assert_allclose(d1.xyz, d2.xyz)
+    np.testing.assert_allclose(d1.sd, d2.sd)
+
+
+def test_spec_desc_cache_serves_sorted_subset(blob_volume):
+    det = s3d.SIFT3D()
+    det.detect_keypoints(blob_volume)
+    kp = det.detect_keypoints(blob_volume)
+    full = det.extract_descriptors(kp)
+    top = kp.sort_by_strength(4)
+    sub = det.extract_descriptors(top)
+    # identity lookup: each row of the subset matches the full extraction
+    for j in range(len(top)):
+        m = np.nonzero((full.xyz == sub.xyz[j]).all(axis=1))[0]
+        assert len(m) >= 1
+        np.testing.assert_array_equal(full.data[m[0]], sub.data[j])
+
+
+def test_spec_miss_falls_back(blob_volume):
+    det = s3d.SIFT3D()
+    det.detect_keypoints(blob_volume)
+    kp = det.detect_keypoints(blob_volume)
+    ref = det.extract_descriptors(kp)
+    det._spec_desc_cache = None  # force the device path
+    dev = det.extract_descriptors(kp)
+    np.testing.assert_allclose(ref.data, dev.data, atol=2e-6)
