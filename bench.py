@@ -116,6 +116,12 @@ def main(argv=None) -> int:
                          "lines (BASELINE configs 4-5)")
     args = ap.parse_args(argv)
 
+    # Compiles through the tunneled backend are expensive; the persistent
+    # cache makes warm runs (and driver re-runs in this checkout) instant.
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          str(REPO / ".jax_cache"))
+
     vol = make_bench_volume(args.size)
 
     ms, n_kp, n_desc = bench_tpu(vol, args.repeats)

@@ -225,42 +225,79 @@ def _extract_oct_fn(plan: PyramidPlan, octave: int, bucket: int,
     return run
 
 
-@functools.lru_cache(maxsize=256)
-def _spec_desc_fn(plan: PyramidPlan, octave: int, spec: int, dslots: int):
-    """Speculative descriptor extraction fused with on-device compaction of
-    orientation-accepted candidates: slot j holds the j-th accepted
-    candidate (candidate order), so results line up with the keypoints the
-    host later assembles from the same masks. Lets descriptors dispatch
-    before ANY result reaches the host — detect+extract then costs a single
-    device round-trip (the device may sit behind a high-latency link)."""
-    from .detect import compact_flat
+def _mult_of(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _hint_cfg(plan: PyramidPlan, hint: dict, params) -> tuple:
+    """Static per-octave (capacity, ori_slots, desc_slots) sizing for the
+    fused hinted program, from the previous detection's per-octave
+    (candidate_total, accepted) counts. Headroom factors absorb volume-to-
+    volume drift in a workload of similar inputs; quantization keeps the
+    set of compiled programs small. Undershoot is never wrong: capacity
+    overflow re-detects exactly, ori/desc overflow falls back to the exact
+    per-segment path."""
+    nl = params.num_kp_levels
+    cfg = []
+    for o in range(plan.num_octaves):
+        total, acc = hint.get(o, (0, 0))
+        if params.kp_per_level:
+            cap = nl * params.kp_per_level
+        else:
+            cap = max(128, 1 << max(2 * total - 1, 1).bit_length())
+        ospec = min(cap, max(64, _mult_of(total + (total >> 2) + 1, 64)))
+        dslots = max(8, _mult_of(acc + (acc >> 2) + 1, 8))
+        cfg.append((cap, ospec, dslots))
+    return tuple(cfg)
+
+
+@functools.lru_cache(maxsize=64)
+def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
+    """The fully-fused hinted detection program: pyramid + DoG + extrema +
+    candidate compaction + mixed-level orientation + speculative descriptor
+    extraction for every octave in ONE jitted computation.
+
+    cfg[o] = (capacity, ori_slots, desc_slots), all sized from the previous
+    detection on this plan (see _hint_cfg). One dispatch and one
+    device->host transfer replace the per-stage dispatch chain — on a
+    high-latency link each extra dispatch/sync costs milliseconds, and XLA
+    can overlap the independent per-octave stages."""
+    from .detect import compact_flat, detect_extrema_octave
 
     params = plan.params
     nl = params.num_kp_levels
-    units = plan.level_units(octave)
-    scales = np.asarray(
-        [plan.scales[octave][1 + li] for li in range(nl)], np.float32)
-    sd_max = float(scales.max())
 
     @jax.jit
-    def run(gpyr_oct, coords, level, accepted, R):
-        idx, dvalid, acc_count = compact_flat(accepted, dslots)
-        co = coords[:spec][idx]
-        lv = level[:spec][idx]
-        res = _extract_level(
-            gpyr_oct[1:1 + nl], co, R[idx], dvalid,
-            jnp.asarray(scales)[lv], octave, units, params,
-            centers=co.astype(jnp.float32), sd_max=sd_max,
-            level_index=lv, fractional_centers=False)
-        return acc_count, res
+    def run(data):
+        x = scale_to_unit(data)
+        gpyr = build_gpyr(x, plan)
+        cands, oris, descs = [], [], []
+        for o, (cap, ospec, dslots) in enumerate(cfg):
+            dog_oct = gpyr[o][:-1] - gpyr[o][1:]
+            cand = detect_extrema_octave(dog_oct, params, cap)
+            units = plan.level_units(o)
+            scales = np.asarray(
+                [plan.scales[o][1 + li] for li in range(nl)], np.float32)
+            sd_max = float(scales.max())
+            lv = gpyr[o][1:1 + nl]
+            ori = assign_orientations(
+                lv, cand.coords[:ospec], cand.valid[:ospec],
+                jnp.asarray(scales)[cand.level[:ospec]], units, params,
+                sd_max=sd_max, level_index=cand.level[:ospec],
+                fractional_centers=False)
+            idx, dvalid, acc_count = compact_flat(ori.accepted, dslots)
+            co = cand.coords[:ospec][idx]
+            lvk = cand.level[:ospec][idx]
+            res = _extract_level(
+                lv, co, ori.R[idx], dvalid, jnp.asarray(scales)[lvk], o,
+                units, params, centers=co.astype(jnp.float32),
+                sd_max=sd_max, level_index=lvk, fractional_centers=False)
+            cands.append(cand)
+            oris.append(ori)
+            descs.append((acc_count, res))
+        return gpyr, cands, oris, descs
 
     return run
-
-
-def _quantize_slots(n: int, cap: int = 256) -> int:
-    """Speculative descriptor slot count: next power of two (>= 8) of the
-    previously observed accepted count, capped."""
-    return int(min(cap, max(8, 1 << (max(n, 1) - 1).bit_length())))
 
 
 @functools.lru_cache(maxsize=16)
@@ -316,12 +353,12 @@ class SIFT3D:
         # Per-(octave, level) rejection funnel of the last detection
         # (profiling.detect_stats renders it).
         self._funnel: dict | None = None
-        # Speculative-descriptor state: per-octave accepted counts observed
-        # on the previous detection with this plan (sizes the next
-        # speculative descriptor dispatch), and the resulting descriptor
-        # cache keyed by keypoint identity.
-        self._desc_hint: dict[int, int] | None = None
-        self._desc_hint_plan = None
+        # Speculation state: per-octave (candidate_total, accepted) counts
+        # observed on the previous detection with this plan (sizes the next
+        # detection's fused program, _hint_cfg), and the resulting
+        # descriptor cache keyed by keypoint identity.
+        self._hint: dict[int, tuple[int, int]] | None = None
+        self._hint_plan = None
         self._spec_desc_cache: dict | None = None
 
     # -- detection ----------------------------------------------------------
@@ -329,52 +366,57 @@ class SIFT3D:
     def detect_keypoints(self, vol) -> Keypoints:
         vol = as_volume(vol)
         plan = make_plan(vol.shape, vol.units, self.params)
-        run, caps = _detect_fn(plan)
-        gpyr, per_oct = run(vol.data)
+        extensions = (self.params.refine_subvoxel
+                      or self.params.edge_thresh is not None)
+        hint = (self._hint if not extensions and self._hint_plan == plan
+                else None)
+        self._spec_desc_cache = None
+
+        spec_raw = []        # (ori_slots, device payload) per octave
+        spec_desc_raw = []   # (octave, ori_slots, desc_slots, device payload)
+        if hint is not None:
+            # Fused hinted program: ONE dispatch computes pyramid, extrema,
+            # orientation, and descriptors, with every capacity sized from
+            # the previous detection on this plan.
+            cfg = _hint_cfg(plan, hint, self.params)
+            gpyr, cands, oris, descs = _detect_full_fn(plan, cfg)(vol.data)
+            caps = {o: cfg[o][0] for o in range(plan.num_octaves)}
+            per_oct = [(c, None) for c in cands]
+            for o, (cand, ori, dsc) in enumerate(zip(cands, oris, descs)):
+                _, ospec, dslots = cfg[o]
+                spec_raw.append((ospec, (cand.coords[:ospec],
+                                         cand.strength[:ospec],
+                                         ori.R, ori.accepted, None,
+                                         (ori.reject_grad, ori.reject_ratio,
+                                          ori.reject_corner))))
+                spec_desc_raw.append((o, ospec, dslots, dsc))
+        else:
+            run, caps = _detect_fn(plan)
+            gpyr, per_oct = run(vol.data)
+            if not extensions:
+                # Speculative orientation: dispatch per octave over a fixed
+                # slot prefix before candidate counts reach the host, so
+                # the counts sync overlaps orientation compute.
+                for o, (cand, _) in enumerate(per_oct):
+                    spec = min(_SPEC_ORI_SLOTS, caps[o])
+                    ori = _orient_octave_fn(plan, o, spec)(
+                        gpyr[o], cand.coords[:spec], cand.level[:spec],
+                        cand.valid[:spec])
+                    spec_raw.append(
+                        (spec, (cand.coords[:spec], cand.strength[:spec],
+                                ori.R, ori.accepted, None,
+                                (ori.reject_grad, ori.reject_ratio,
+                                 ori.reject_corner))))
         self._plan, self._gpyr = plan, gpyr
         self._input_shape = vol.shape
 
-        # Speculative orientation: dispatch per octave over a fixed slot
-        # prefix before candidate counts reach the host, so the counts sync
-        # overlaps orientation compute. Octaves whose candidate count
-        # exceeds the speculative window fall back to exact per-segment
-        # dispatches in _assemble.
-        extensions = (self.params.refine_subvoxel
-                      or self.params.edge_thresh is not None)
+        # ONE device->host sync for counts AND every speculative result
+        # (the device may sit behind a high-latency link — each extra sync
+        # costs a full RTT). Octaves whose candidate count fits the
+        # speculative window then assemble purely on the host.
         spec_oris = None
         spec_descs = {}
-        self._spec_desc_cache = None
         if not extensions:
-            hint = (self._desc_hint
-                    if self._desc_hint_plan == plan else None)
-            spec_raw = []
-            spec_desc_raw = []  # (octave, spec, dslots, device payload)
-            for o, (cand, _) in enumerate(per_oct):
-                spec = min(_SPEC_ORI_SLOTS, caps[o])
-                ori = _orient_octave_fn(plan, o, spec)(
-                    gpyr[o], cand.coords[:spec], cand.level[:spec],
-                    cand.valid[:spec])
-                spec_raw.append((spec, (cand.coords[:spec],
-                                        cand.strength[:spec],
-                                        ori.R, ori.accepted, None,
-                                        (ori.reject_grad, ori.reject_ratio,
-                                         ori.reject_corner))))
-                if hint is not None and o in hint:
-                    # Speculative descriptors: extract for the accepted
-                    # candidates (compacted on device) before any count
-                    # reaches the host. Slot count comes from the previous
-                    # detection's accepted count on this plan, so the
-                    # wasted work is at most the pow2 rounding.
-                    dslots = _quantize_slots(hint[o])
-                    out = _spec_desc_fn(plan, o, spec, dslots)(
-                        gpyr[o], cand.coords, cand.level, ori.accepted,
-                        ori.R)
-                    spec_desc_raw.append((o, spec, dslots, out))
-            # ONE device->host sync for counts AND the speculative
-            # orientation results (the device may sit behind a high-latency
-            # link — each extra sync costs a full RTT). Octaves whose
-            # candidate count fits the speculative window then assemble
-            # purely on the host, with no further sync.
             counts, spec_host, desc_host = jax.device_get(
                 (jnp.stack([c.counts for c, _ in per_oct]),
                  [p for _, p in spec_raw],
@@ -404,11 +446,12 @@ class SIFT3D:
                             lambda o, i: gpyr[o][i], spec_oris)
 
         if not extensions:
-            # Learn per-octave accepted counts: they size the next
-            # detection's speculative descriptor dispatch on this plan.
-            self._desc_hint = {o: n for o in range(plan.num_octaves)
-                               if (n := int(np.sum(kp.octave == o))) > 0}
-            self._desc_hint_plan = plan
+            # Learn per-octave (candidate, accepted) counts: they size the
+            # next detection's fused hinted program on this plan.
+            self._hint = {o: (int(np.sum(counts[o])),
+                              int(np.sum(kp.octave == o)))
+                          for o in range(plan.num_octaves)}
+            self._hint_plan = plan
             # Validate this round's speculative descriptors and build the
             # identity-keyed cache extract_descriptors serves from.
             cache = {}

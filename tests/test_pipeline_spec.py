@@ -32,7 +32,7 @@ def test_spec_desc_cache_matches_device_path(blob_volume):
     # First call has no hint -> no speculation; descriptors go through the
     # device path.
     d1 = det.extract_descriptors(kp1)
-    assert det._desc_hint  # learned for next time
+    assert det._hint  # learned for next time
 
     kp2 = det.detect_keypoints(blob_volume)
     assert det._spec_desc_cache, "speculation should cover this volume"
@@ -56,6 +56,33 @@ def test_spec_desc_cache_serves_sorted_subset(blob_volume):
         m = np.nonzero((full.xyz == sub.xyz[j]).all(axis=1))[0]
         assert len(m) >= 1
         np.testing.assert_array_equal(full.data[m[0]], sub.data[j])
+
+
+def test_stale_hint_on_different_volume_is_exact(blob_volume):
+    """A hint learned on volume A sizes speculation for volume B; whether
+    speculation hits or overflows, results must equal a fresh detector's."""
+    rng = np.random.default_rng(99)
+    n = blob_volume.shape[0]
+    x, y, z = np.meshgrid(*([np.arange(n)] * 3), indexing="ij")
+    other = np.zeros_like(blob_volume)
+    for _ in range(40):  # denser -> more keypoints than blob_volume
+        c = rng.uniform(6, n - 6, 3)
+        s = rng.uniform(2, 4, 3)
+        other += rng.uniform(0.3, 1.0) * np.exp(
+            -(((x - c[0]) / s[0]) ** 2 + ((y - c[1]) / s[1]) ** 2
+              + ((z - c[2]) / s[2]) ** 2)).astype(np.float32)
+
+    det = s3d.SIFT3D()
+    det.detect_keypoints(blob_volume)          # learn hint on A
+    kp = det.detect_keypoints(other)           # speculate on B
+    desc = det.extract_descriptors(kp)
+
+    fresh = s3d.SIFT3D()
+    kp_ref = fresh.detect_keypoints(other)
+    desc_ref = fresh.extract_descriptors(kp_ref)
+    np.testing.assert_array_equal(np.asarray(kp.coords),
+                                  np.asarray(kp_ref.coords))
+    np.testing.assert_allclose(desc.data, desc_ref.data, atol=2e-6)
 
 
 def test_spec_miss_falls_back(blob_volume):
