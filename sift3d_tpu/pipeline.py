@@ -75,7 +75,8 @@ def _detect_fn(plan: PyramidPlan):
             else:
                 ref = None
             out.append((cand, ref))
-        return gpyr, out
+        counts = jnp.stack([c.counts for c, _ in out])
+        return gpyr, out, counts
 
     return run, caps
 
@@ -131,7 +132,9 @@ def _orient_octave_fn(plan: PyramidPlan, octave: int, bucket: int):
     """Orientation for a mixed-level octave candidate batch: per-candidate
     scale from the level index, windows sized by the octave's largest level
     scale. Lets orientation dispatch before candidate counts reach the host
-    (speculative; see detect_keypoints)."""
+    (speculative; see detect_keypoints). Takes the FULL candidate store and
+    slices the first `bucket` slots inside the jit (plus the host-bound
+    coords/strength payload) so the caller issues no eager device ops."""
     params = plan.params
     nl = params.num_kp_levels
     units = plan.level_units(octave)
@@ -140,12 +143,14 @@ def _orient_octave_fn(plan: PyramidPlan, octave: int, bucket: int):
     sd_max = float(scales.max())
 
     @jax.jit
-    def run(gpyr_oct, coords, level, valid):
-        sd_arr = jnp.asarray(scales)[level]
+    def run(gpyr_oct, coords, level, valid, strength):
+        co, lvl, va = coords[:bucket], level[:bucket], valid[:bucket]
+        sd_arr = jnp.asarray(scales)[lvl]
         lv = gpyr_oct[1:1 + nl]                     # [nl, nx, ny, nz]
-        return assign_orientations(
-            lv, coords, valid, sd_arr, units, params, sd_max=sd_max,
-            level_index=level, fractional_centers=False)
+        ori = assign_orientations(
+            lv, co, va, sd_arr, units, params, sd_max=sd_max,
+            level_index=lvl, fractional_centers=False)
+        return ori, co, strength[:bucket]
 
     return run
 
@@ -271,7 +276,7 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
     def run(data):
         x = scale_to_unit(data)
         gpyr = build_gpyr(x, plan)
-        cands, oris, descs = [], [], []
+        cands, spec, descs = [], [], []
         for o, (cap, ospec, dslots) in enumerate(cfg):
             dog_oct = gpyr[o][:-1] - gpyr[o][1:]
             cand = detect_extrema_octave(dog_oct, params, cap)
@@ -293,9 +298,16 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
                 units, params, centers=co.astype(jnp.float32),
                 sd_max=sd_max, level_index=lvk, fractional_centers=False)
             cands.append(cand)
-            oris.append(ori)
+            # host-bound payload, pre-sliced here so the caller issues no
+            # eager device ops (each costs a dispatch on a high-latency
+            # link)
+            spec.append((cand.coords[:ospec], cand.strength[:ospec],
+                         ori.R, ori.accepted, None,
+                         (ori.reject_grad, ori.reject_ratio,
+                          ori.reject_corner)))
             descs.append((acc_count, res))
-        return gpyr, cands, oris, descs
+        counts = jnp.stack([c.counts for c in cands])
+        return gpyr, cands, counts, spec, descs
 
     return run
 
@@ -328,7 +340,8 @@ def _detect_batch_fn(plan: PyramidPlan, batch: int):
                 else:
                     ref = None
                 out.append((cand, ref))
-            return gpyr, out
+            counts = jnp.stack([c.counts for c, _ in out])
+            return gpyr, out, counts
         return jax.vmap(one)(data)
 
     return run_batch, caps
@@ -379,32 +392,28 @@ class SIFT3D:
             # orientation, and descriptors, with every capacity sized from
             # the previous detection on this plan.
             cfg = _hint_cfg(plan, hint, self.params)
-            gpyr, cands, oris, descs = _detect_full_fn(plan, cfg)(vol.data)
+            gpyr, cands, counts_dev, spec, descs = \
+                _detect_full_fn(plan, cfg)(vol.data)
             caps = {o: cfg[o][0] for o in range(plan.num_octaves)}
             per_oct = [(c, None) for c in cands]
-            for o, (cand, ori, dsc) in enumerate(zip(cands, oris, descs)):
+            for o, (payload, dsc) in enumerate(zip(spec, descs)):
                 _, ospec, dslots = cfg[o]
-                spec_raw.append((ospec, (cand.coords[:ospec],
-                                         cand.strength[:ospec],
-                                         ori.R, ori.accepted, None,
-                                         (ori.reject_grad, ori.reject_ratio,
-                                          ori.reject_corner))))
+                spec_raw.append((ospec, payload))
                 spec_desc_raw.append((o, ospec, dslots, dsc))
         else:
             run, caps = _detect_fn(plan)
-            gpyr, per_oct = run(vol.data)
+            gpyr, per_oct, counts_dev = run(vol.data)
             if not extensions:
                 # Speculative orientation: dispatch per octave over a fixed
                 # slot prefix before candidate counts reach the host, so
                 # the counts sync overlaps orientation compute.
                 for o, (cand, _) in enumerate(per_oct):
                     spec = min(_SPEC_ORI_SLOTS, caps[o])
-                    ori = _orient_octave_fn(plan, o, spec)(
-                        gpyr[o], cand.coords[:spec], cand.level[:spec],
-                        cand.valid[:spec])
+                    ori, co, st = _orient_octave_fn(plan, o, spec)(
+                        gpyr[o], cand.coords, cand.level, cand.valid,
+                        cand.strength)
                     spec_raw.append(
-                        (spec, (cand.coords[:spec], cand.strength[:spec],
-                                ori.R, ori.accepted, None,
+                        (spec, (co, st, ori.R, ori.accepted, None,
                                 (ori.reject_grad, ori.reject_ratio,
                                  ori.reject_corner))))
         self._plan, self._gpyr = plan, gpyr
@@ -418,7 +427,7 @@ class SIFT3D:
         spec_descs = {}
         if not extensions:
             counts, spec_host, desc_host = jax.device_get(
-                (jnp.stack([c.counts for c, _ in per_oct]),
+                (counts_dev,
                  [p for _, p in spec_raw],
                  [p for *_, p in spec_desc_raw]))
             spec_oris = [(s, p) for (s, _), p in zip(spec_raw, spec_host)]
@@ -426,8 +435,7 @@ class SIFT3D:
                           for (o, spec, dslots, _), payload
                           in zip(spec_desc_raw, desc_host)}
         else:
-            counts = jax.device_get(
-                jnp.stack([c.counts for c, _ in per_oct]))  # [n_oct, nl]
+            counts = jax.device_get(counts_dev)  # [n_oct, nl]
 
         # Capacity-overflow retry: counts are exact (pre-compaction mask
         # sums), so re-detecting the rare overflowing octave with a
@@ -484,15 +492,14 @@ class SIFT3D:
         B = vols.shape[0]
         plan = make_plan(vols.shape[1:], units, self.params)
         run, caps = _detect_batch_fn(plan, B)
-        gpyr_b, per_oct_b = run(vols)
+        gpyr_b, per_oct_b, counts_dev = run(vols)
         self._plan, self._gpyr = plan, gpyr_b
         self._input_shape = tuple(vols.shape[1:])
         self._batched = True
 
         from .detect import OctaveCandidates
         from .refinement import RefinementResult
-        counts_b = jax.device_get(
-            jnp.stack([c.counts for c, _ in per_oct_b]))  # [n_oct, B, nl]
+        counts_b = jax.device_get(counts_dev)  # [B, n_oct, nl]
         out = []
         for b in range(B):
             per_oct = []
@@ -506,13 +513,13 @@ class SIFT3D:
                 per_oct.append((cand_b, ref_b))
             caps_v = dict(caps)
             for o in range(plan.num_octaves):
-                total = int(np.sum(counts_b[o, b]))
+                total = int(np.sum(counts_b[b, o]))
                 if total > caps_v[o]:
                     caps_v[o] = _retry_capacity(total)
                     per_oct[o] = _redetect_octave_fn(
                         plan, o, caps_v[o], extensions)(gpyr_b[o][b])
             out.append(self._assemble(
-                plan, caps_v, per_oct, counts_b[:, b],
+                plan, caps_v, per_oct, counts_b[b],
                 lambda o, i, b=b: gpyr_b[o][b, i]))
         return out
 

@@ -128,8 +128,8 @@ def test_high_candidate_count_fallback(tmp_path):
     from sift3d_tpu.pyramid import make_plan
     plan = make_plan(vol.shape, (1.0, 1.0, 1.0), params)
     run, _caps = _detect_fn(plan)
-    _, per_oct = run(jnp.asarray(vol))
-    counts = jax.device_get(jnp.stack([c.counts for c, _ in per_oct]))
+    _, _per_oct, counts_dev = run(jnp.asarray(vol))
+    counts = jax.device_get(counts_dev)
     assert counts.sum(axis=1).max() > _SPEC_ORI_SLOTS, counts
     assert len(kp) == len(ref)
     assert np.array_equal(kp.coords, ref[:, 1:4])
