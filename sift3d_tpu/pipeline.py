@@ -276,7 +276,7 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
     def run(data):
         x = scale_to_unit(data)
         gpyr = build_gpyr(x, plan)
-        cands, spec, descs = [], [], []
+        cands, octs = [], []
         for o, (cap, ospec, dslots) in enumerate(cfg):
             dog_oct = gpyr[o][:-1] - gpyr[o][1:]
             cand = detect_extrema_octave(dog_oct, params, cap)
@@ -285,29 +285,49 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
                 [plan.scales[o][1 + li] for li in range(nl)], np.float32)
             sd_max = float(scales.max())
             lv = gpyr[o][1:1 + nl]
+            level_s = cand.level[:ospec]
             ori = assign_orientations(
                 lv, cand.coords[:ospec], cand.valid[:ospec],
-                jnp.asarray(scales)[cand.level[:ospec]], units, params,
-                sd_max=sd_max, level_index=cand.level[:ospec],
+                jnp.asarray(scales)[level_s], units, params,
+                sd_max=sd_max, level_index=level_s,
                 fractional_centers=False)
             idx, dvalid, acc_count = compact_flat(ori.accepted, dslots)
             co = cand.coords[:ospec][idx]
-            lvk = cand.level[:ospec][idx]
+            lvk = level_s[idx]
             res = _extract_level(
                 lv, co, ori.R[idx], dvalid, jnp.asarray(scales)[lvk], o,
                 units, params, centers=co.astype(jnp.float32),
                 sd_max=sd_max, level_index=lvk, fractional_centers=False)
             cands.append(cand)
-            # host-bound payload, pre-sliced here so the caller issues no
-            # eager device ops (each costs a dispatch on a high-latency
-            # link)
-            spec.append((cand.coords[:ospec], cand.strength[:ospec],
-                         ori.R, ori.accepted, None,
-                         (ori.reject_grad, ori.reject_ratio,
-                          ori.reject_corner)))
-            descs.append((acc_count, res))
+
+            # Host-bound payload: ONLY the kept (accepted) slots plus tiny
+            # per-level reductions. The payload transfer is serial with the
+            # RTT on a high-latency link, so every byte counts:
+            # descriptors ship as uint16 fixed-point with a per-descriptor
+            # scale (quantization error <= scale/131070, ~1e-7 absolute —
+            # far below f32 rounding noise in downstream use).
+            dmax = jnp.max(res.desc, axis=1)
+            dscale = jnp.where(dmax > 0, dmax, 1.0).astype(jnp.float32)
+            desc_q = jnp.round(res.desc / dscale[:, None]
+                               * 65535.0).astype(jnp.uint16)
+            # per-level funnel: grad / ratio / corner rejects + survivors,
+            # in the reference's short-circuit order (sift.c:996-1102)
+            g, r, c = ori.reject_grad, ori.reject_ratio, ori.reject_corner
+            stage = jnp.stack([g, ~g & r, ~g & ~r & c, ori.accepted])
+            onehot = (level_s[None, :]
+                      == jnp.arange(nl, dtype=jnp.int32)[:, None])
+            funnel = jnp.einsum("ls,ks->lk", onehot.astype(jnp.float32),
+                                stage.astype(jnp.float32)).astype(jnp.int32)
+            octs.append(dict(
+                acc_count=acc_count,
+                coords=co, level=lvk, R=ori.R[idx],
+                strength_true=cand.strength[:ospec][idx],
+                desc_q=desc_q, desc_scale=dscale,
+                xyz=res.xyz, sd=res.sd,
+                strengths=cand.strength[:ospec],
+                funnel=funnel))
         counts = jnp.stack([c.counts for c in cands])
-        return gpyr, cands, counts, spec, descs
+        return gpyr, cands, counts, octs
 
     return run
 
@@ -385,24 +405,32 @@ class SIFT3D:
                 else None)
         self._spec_desc_cache = None
 
-        spec_raw = []        # (ori_slots, device payload) per octave
-        spec_desc_raw = []   # (octave, ori_slots, desc_slots, device payload)
         if hint is not None:
             # Fused hinted program: ONE dispatch computes pyramid, extrema,
             # orientation, and descriptors, with every capacity sized from
-            # the previous detection on this plan.
+            # the previous detection on this plan, then ONE device_get of a
+            # kept-slots-only payload.
             cfg = _hint_cfg(plan, hint, self.params)
-            gpyr, cands, counts_dev, spec, descs = \
+            gpyr, cands, counts_dev, octs = \
                 _detect_full_fn(plan, cfg)(vol.data)
+            self._plan, self._gpyr = plan, gpyr
+            self._input_shape = vol.shape
+            counts, octs_host = jax.device_get((counts_dev, octs))
+            fit = all(
+                int(np.sum(counts[o])) <= cfg[o][1]
+                and int(octs_host[o]["acc_count"]) <= cfg[o][2]
+                for o in range(plan.num_octaves))
+            if fit:
+                return self._assemble_hinted(plan, counts, octs_host)
+            # Speculation missed (the workload drifted past the headroom):
+            # re-run the exact path from the device-resident stores.
             caps = {o: cfg[o][0] for o in range(plan.num_octaves)}
             per_oct = [(c, None) for c in cands]
-            for o, (payload, dsc) in enumerate(zip(spec, descs)):
-                _, ospec, dslots = cfg[o]
-                spec_raw.append((ospec, payload))
-                spec_desc_raw.append((o, ospec, dslots, dsc))
+            spec_oris = None
         else:
             run, caps = _detect_fn(plan)
             gpyr, per_oct, counts_dev = run(vol.data)
+            spec_raw = []    # (ori_slots, device payload) per octave
             if not extensions:
                 # Speculative orientation: dispatch per octave over a fixed
                 # slot prefix before candidate counts reach the host, so
@@ -416,26 +444,21 @@ class SIFT3D:
                         (spec, (co, st, ori.R, ori.accepted, None,
                                 (ori.reject_grad, ori.reject_ratio,
                                  ori.reject_corner))))
-        self._plan, self._gpyr = plan, gpyr
-        self._input_shape = vol.shape
+            self._plan, self._gpyr = plan, gpyr
+            self._input_shape = vol.shape
 
-        # ONE device->host sync for counts AND every speculative result
-        # (the device may sit behind a high-latency link — each extra sync
-        # costs a full RTT). Octaves whose candidate count fits the
-        # speculative window then assemble purely on the host.
-        spec_oris = None
-        spec_descs = {}
-        if not extensions:
-            counts, spec_host, desc_host = jax.device_get(
-                (counts_dev,
-                 [p for _, p in spec_raw],
-                 [p for *_, p in spec_desc_raw]))
-            spec_oris = [(s, p) for (s, _), p in zip(spec_raw, spec_host)]
-            spec_descs = {o: (spec, dslots, payload)
-                          for (o, spec, dslots, _), payload
-                          in zip(spec_desc_raw, desc_host)}
-        else:
-            counts = jax.device_get(counts_dev)  # [n_oct, nl]
+            # ONE device->host sync for counts AND every speculative result
+            # (the device may sit behind a high-latency link — each extra
+            # sync costs a full RTT). Octaves whose candidate count fits
+            # the speculative window then assemble purely on the host.
+            spec_oris = None
+            if not extensions:
+                counts, spec_host = jax.device_get(
+                    (counts_dev, [p for _, p in spec_raw]))
+                spec_oris = [(s, p)
+                             for (s, _), p in zip(spec_raw, spec_host)]
+            else:
+                counts = jax.device_get(counts_dev)  # [n_oct, nl]
 
         # Capacity-overflow retry: counts are exact (pre-compaction mask
         # sums), so re-detecting the rare overflowing octave with a
@@ -460,25 +483,71 @@ class SIFT3D:
                               int(np.sum(kp.octave == o)))
                           for o in range(plan.num_octaves)}
             self._hint_plan = plan
-            # Validate this round's speculative descriptors and build the
-            # identity-keyed cache extract_descriptors serves from.
-            cache = {}
-            for o, (spec, dslots, (acc_count, res)) in spec_descs.items():
-                total = int(np.sum(counts[o]))
-                n_acc = int(acc_count)
-                if total > spec or n_acc > dslots:
-                    continue   # speculation missed; device path covers it
-                sel = np.nonzero(kp.octave == o)[0]
-                if len(sel) != n_acc:
-                    continue
-                for j, row in enumerate(sel):
-                    key = (o, int(kp.level[row]),
-                           float(kp.coords[row, 0]),
-                           float(kp.coords[row, 1]),
-                           float(kp.coords[row, 2]))
-                    cache[key] = (res.desc[j], res.xyz[j], res.sd[j])
-            self._spec_desc_cache = cache or None
         return kp
+
+    def _assemble_hinted(self, plan, counts, octs) -> Keypoints:
+        """Assembly for the fused hinted program when speculation covered
+        every octave: the payload already holds exactly the accepted
+        keypoints (in the reference's candidate order) and their
+        descriptors; build the keypoint list, the rejection funnel, and the
+        descriptor cache with no further device work."""
+        nl = self.params.num_kp_levels
+        self._funnel = {}
+        cache = {}
+        coords_l, lvl_l, oct_l, R_l, sd_l, st_true, stale = \
+            [], [], [], [], [], [], []
+        for o, od in enumerate(octs):
+            k = int(od["acc_count"])
+            total_o = int(np.sum(counts[o]))
+            scales = np.asarray(
+                [plan.scales[o][1 + li] for li in range(nl)], np.float64)
+            co = od["coords"][:k]
+            lv = od["level"][:k]
+            coords_l.append(co)
+            lvl_l.append(lv)
+            oct_l.append(np.full(k, o, np.int32))
+            R_l.append(od["R"][:k])
+            sd_l.append(scales[lv])
+            st_true.append(od["strength_true"][:k])
+            stale.append(od["strengths"][:total_o])
+            for li in range(nl):
+                c = int(counts[o][li])
+                if c == 0:
+                    continue
+                g, r, cn, sv = (int(v) for v in od["funnel"][li])
+                self._funnel[(o, li)] = {
+                    "candidates": c, "reject_grad": g, "reject_ratio": r,
+                    "reject_corner": cn, "survivors": sv}
+            if k:
+                desc = (od["desc_q"][:k].astype(np.float32)
+                        * (od["desc_scale"][:k, None]
+                           / np.float32(65535.0)))
+                for j in range(k):
+                    key = (o, int(lv[j]), float(co[j, 0]), float(co[j, 1]),
+                           float(co[j, 2]))
+                    cache[key] = (desc[j], od["xyz"][j], od["sd"][j])
+        self._spec_desc_cache = cache or None
+        self._hint = {o: (int(np.sum(counts[o])),
+                          int(octs[o]["acc_count"]))
+                      for o in range(plan.num_octaves)}
+        self._hint_plan = plan
+
+        n = sum(len(c) for c in coords_l)
+        if n == 0:
+            return Keypoints(
+                coords=np.zeros((0, 3)), octave=np.zeros(0, np.int32),
+                level=np.zeros(0, np.int32), sd=np.zeros(0),
+                strength=np.zeros(0), R=np.zeros((0, 3, 3), np.float32))
+        if self.stale_strength_compat:
+            strength = np.concatenate(stale).astype(np.float64)[:n]
+        else:
+            strength = np.concatenate(st_true).astype(np.float64)
+        return Keypoints(
+            coords=np.concatenate(coords_l).astype(np.float64),
+            octave=np.concatenate(oct_l),
+            level=np.concatenate(lvl_l).astype(np.int32),
+            sd=np.concatenate(sd_l), strength=strength,
+            R=np.concatenate(R_l))
 
     def detect_keypoints_batch(self, vols, units=(1.0, 1.0, 1.0)):
         """Detect keypoints for a batch of same-shape volumes [B, nx, ny,
