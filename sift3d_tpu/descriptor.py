@@ -310,7 +310,8 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
                 level, co, ce, Rk, sdk, units, extents, tile, params,
                 lvl=(lv if lvl_arg else None)))(
             c_coords, c_centers, c_R, c_sd, c_lvl)
-        return desc_hist_pallas(grot, vbins, interpret=interpret)
+        return desc_hist_pallas(grot, vbins, interpret=interpret,
+                                precision=params.desc_precision)
 
     args = (coords, centers, R, sd_arr, level_index)
     if K <= kp_chunk:

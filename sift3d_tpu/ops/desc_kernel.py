@@ -131,11 +131,18 @@ _G = 8  # keypoints packed per grid step in the batched kernel
 
 
 def _kernel_packed(grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref, out_ref,
-                   acc, zy_s, p_s):
+                   acc, zy_s, p_s, *, mxu_prec=None):
     """8 keypoints per grid step; their [16,T]x[T,48] histogram
     contractions fuse into ONE [128,T]x[T,384] MXU pass (only the 8
-    diagonal [16,48] blocks of the result are used — the wasted cross
-    blocks are free because the MXU pass length is set by T, not M x N)."""
+    diagonal [16,48] blocks of the result are used; the packing still wins
+    because the MXU tile is 128 wide — 8 separate [16,T]x[T,48] dots would
+    each burn a full tile pass over T).
+
+    mxu_prec controls only this contraction (Precision.DEFAULT = one bf16
+    MXU pass with f32 accumulation, the historical behavior;
+    Precision.HIGHEST = 6-pass f32, ~1.6x slower kernel, <= 3e-4 rel-L2
+    apart — tools/desc_bf16.py). All per-voxel math — face selection in
+    particular, whose eps comparisons decide bin assignment — stays f32."""
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
 
@@ -153,7 +160,7 @@ def _kernel_packed(grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref, out_ref,
 
     acc[:] += jax.lax.dot_general(
         zy_s[:], p_s[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=mxu_prec)
 
     @pl.when(c == n_c - 1)
     def _():
@@ -162,18 +169,33 @@ def _kernel_packed(grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref, out_ref,
                              j * NB * ICOS_NVERT:(j + 1) * NB * ICOS_NVERT]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def desc_hist_pallas(grot, vbins, interpret: bool = False):
-    """Histograms [K, 16, 48] from grot/vbins [K, 3, N] (N % 512 == 0)."""
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "precision"))
+def desc_hist_pallas(grot, vbins, interpret: bool = False,
+                     tile: int | None = None, precision: str = "highest"):
+    """Histograms [K, 16, 48] from grot/vbins [K, 3, N] (N % 512 == 0).
+
+    precision: "default" = one bf16 MXU pass with f32 accumulation for the
+    histogram contraction (historical behavior); "highest" = 6-pass f32
+    (DetectorParams.desc_precision)."""
     K, _, N = grot.shape
     if K % _G == 0:
-        return _desc_hist_packed(grot, vbins, interpret)
+        return _desc_hist_packed(grot, vbins, interpret, tile, precision)
     return _desc_hist_single(grot, vbins, interpret)
 
 
-def _desc_hist_packed(grot, vbins, interpret: bool = False):
+def _desc_hist_packed(grot, vbins, interpret: bool = False,
+                      tile: int | None = None,
+                      precision: str = "highest"):
     K, _, N = grot.shape
-    TILE = next(t for t in (2048, 512, 128) if N % t == 0)
+    # 8192 exceeds the 16 MB scoped-VMEM limit in f32 (p_s scratch
+    # [384, TILE]); the kernel is MXU-bound on the contraction, and larger
+    # tiles measured no faster (tools/desc_micro.py).
+    ladder = (tile,) if tile else (2048, 512, 128)
+    TILE = next(t for t in ladder if N % t == 0)
+    mxu_prec = (jax.lax.Precision.DEFAULT if precision == "default"
+                else jax.lax.Precision.HIGHEST)
+    kernel = functools.partial(_kernel_packed, mxu_prec=mxu_prec)
 
     mt = jnp.asarray(geometry.MT_MATRIX.T)                  # [60, 3]
     kc = jnp.asarray(geometry.K_CONST[:, None])             # [20, 1]
@@ -183,7 +205,7 @@ def _desc_hist_packed(grot, vbins, interpret: bool = False):
     grid = (K // _G, N // TILE)
     M_zy, M_p = _G * NB * NB, _G * NB * ICOS_NVERT
     return pl.pallas_call(
-        _kernel_packed,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((_G, 3, TILE), lambda k, c: (k, 0, c),

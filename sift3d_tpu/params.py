@@ -72,6 +72,13 @@ class DetectorParams:
     # Matmul precision for the blur/descriptor contractions:
     # "highest" = true f32 (parity-grade), "default" = fastest.
     conv_precision: str = "highest"
+    # Precision of the descriptor histogram contraction (one MXU pass of
+    # the Pallas kernel): "default" = bf16 weight products with f32
+    # accumulation — the historical behavior every parity number was
+    # verified against (TPU descriptors within 0.05% of the C oracle);
+    # "highest" forces the 6-pass f32 MXU mode (~1.6x slower kernel,
+    # <= 3e-4 rel-L2 from "default", measured in tools/desc_bf16.py).
+    desc_precision: str = "default"
 
     def __post_init__(self):
         # Mirror the reference setters' range checks (sift.c:499-565).
@@ -102,6 +109,10 @@ class DetectorParams:
             raise ValueError(
                 f"conv_precision must be 'highest', 'high' or 'default', "
                 f"got {self.conv_precision!r}")
+        if self.desc_precision not in ("highest", "default"):
+            raise ValueError(
+                f"desc_precision must be 'highest' or 'default', "
+                f"got {self.desc_precision!r}")
 
     # --- derived pyramid structure (resize_SIFT3D, sift.c:434-435) ---
 

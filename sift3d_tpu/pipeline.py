@@ -251,6 +251,10 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params) -> tuple:
         else:
             cap = max(128, 1 << max(2 * total - 1, 1).bit_length())
         ospec = min(cap, max(64, _mult_of(total + (total >> 2) + 1, 64)))
+        if ospec > 256:
+            # keep compatible with orientation's internal chunking
+            # (chunked_vmap asserts slots % 256 == 0 above 256)
+            ospec = min(cap, _mult_of(ospec, 256))
         dslots = max(8, _mult_of(acc + (acc >> 2) + 1, 8))
         cfg.append((cap, ospec, dslots))
     return tuple(cfg)
@@ -290,7 +294,8 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
                 lv, cand.coords[:ospec], cand.valid[:ospec],
                 jnp.asarray(scales)[level_s], units, params,
                 sd_max=sd_max, level_index=level_s,
-                fractional_centers=False)
+                fractional_centers=False,
+                chunk=(256 if ospec % 256 == 0 else ospec))
             idx, dvalid, acc_count = compact_flat(ori.accepted, dslots)
             co = cand.coords[:ospec][idx]
             lvk = level_s[idx]

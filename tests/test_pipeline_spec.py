@@ -39,8 +39,8 @@ def test_spec_desc_cache_matches_device_path(blob_volume):
     np.testing.assert_array_equal(np.asarray(kp1.coords),
                                   np.asarray(kp2.coords))
     d2 = det.extract_descriptors(kp2)  # served from cache
-    # the cache ships as uint16 fixed point: error <= scale/131070 ~ 5e-7
-    np.testing.assert_allclose(d1.data, d2.data, atol=1e-6)
+    # the cache ships as uint16 fixed point: error <= dmax/131070 <= 7.7e-6
+    np.testing.assert_allclose(d1.data, d2.data, atol=1e-5)
     np.testing.assert_allclose(d1.xyz, d2.xyz)
     np.testing.assert_allclose(d1.sd, d2.sd)
 
@@ -83,7 +83,37 @@ def test_stale_hint_on_different_volume_is_exact(blob_volume):
     desc_ref = fresh.extract_descriptors(kp_ref)
     np.testing.assert_array_equal(np.asarray(kp.coords),
                                   np.asarray(kp_ref.coords))
-    np.testing.assert_allclose(desc.data, desc_ref.data, atol=2e-6)
+    np.testing.assert_allclose(desc.data, desc_ref.data, atol=1e-5)
+
+
+def test_hint_cfg_slots_compatible_with_orientation_chunking():
+    """Regression: an octave with ~204-255 candidates used to produce
+    ospec=320, which is neither <= 256 nor a multiple of 256 and tripped
+    chunked_vmap's divisibility assert inside the fused program."""
+    from sift3d_tpu.params import DetectorParams
+    from sift3d_tpu.pipeline import _hint_cfg
+    from sift3d_tpu.pyramid import make_plan
+
+    p = DetectorParams()
+    plan = make_plan((64, 64, 64), (1.0, 1.0, 1.0), p)
+    for total in (0, 3, 50, 203, 204, 210, 255, 256, 300, 409, 410, 1000):
+        hint = {o: (total, max(1, total // 8))
+                for o in range(plan.num_octaves)}
+        for cap, ospec, dslots in _hint_cfg(plan, hint, p):
+            assert ospec <= 256 or ospec % 256 == 0, (total, ospec)
+            assert dslots % 8 == 0
+
+
+def test_fused_program_runs_with_non_pow2_kp_per_level(blob_volume):
+    """kp_per_level makes the candidate capacity non-power-of-two; the
+    fused program must still compile and match the first detection."""
+    import numpy as np
+
+    det = s3d.SIFT3D(s3d.DetectorParams(kp_per_level=100))
+    kp1 = det.detect_keypoints(blob_volume)
+    kp2 = det.detect_keypoints(blob_volume)  # fused hinted program
+    np.testing.assert_array_equal(np.asarray(kp1.coords),
+                                  np.asarray(kp2.coords))
 
 
 def test_spec_miss_falls_back(blob_volume):
@@ -93,4 +123,4 @@ def test_spec_miss_falls_back(blob_volume):
     ref = det.extract_descriptors(kp)
     det._spec_desc_cache = None  # force the device path
     dev = det.extract_descriptors(kp)
-    np.testing.assert_allclose(ref.data, dev.data, atol=2e-6)
+    np.testing.assert_allclose(ref.data, dev.data, atol=1e-5)

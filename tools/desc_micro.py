@@ -74,16 +74,29 @@ def main():
               jax.jit(prep_only), level, coords, centers, R, sd_arr,
               per=K)
 
-        # kernel only on resident data, chunked like the real path
+        # kernel only on resident data, RTT-immune loop timing
+        from device_time import device_time
         g1 = jnp.asarray(rng.normal(size=(64, 3, Mp)).astype(np.float32))
         v1 = jnp.asarray(
             rng.uniform(0, 4, size=(64, 3, Mp)).astype(np.float32))
         jax.device_get(jnp.sum(g1) + jnp.sum(v1))
 
-        def kern(g, v):
-            return jnp.sum(desc_hist_pallas(g, v))
-        timed(f"kernel only, 64 kp resident (tile {tile})",
-              jax.jit(kern), g1, v1, per=64)
+        for ktile in (2048, 4096):
+            if Mp % ktile:
+                continue
+            t = device_time(
+                lambda g, kt=ktile: desc_hist_pallas(g, v1, tile=kt), g1,
+                k1=1, k2=5)
+            print(f"kernel only, 64 kp resident (pad {tile}, ktile "
+                  f"{ktile}): {t * 1e3:8.2f} ms ({t / 64 * 1e6:.1f} us/kp)",
+                  flush=True)
+
+        t = device_time(
+            lambda le: jax.vmap(lambda co, ce, Rk, sdk: _prep_window(
+                le, co, ce, Rk, sdk, units, extents, tile, params))(
+                coords, centers, R, sd_arr)[0], level, k1=1, k2=5)
+        print(f"prep only (loop-timed, tile {tile}): {t * 1e3:8.2f} ms "
+              f"({t / K * 1e6:.1f} us/kp)", flush=True)
 
     # full path chunk sweep
     from sift3d_tpu.descriptor import extract_descriptors as ext
