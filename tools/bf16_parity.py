@@ -39,11 +39,12 @@ def main():
 
     kp_hi, ds_hi, ms_hi = run(s3d.SIFT3D(s3d.DetectorParams(
         conv_precision="highest")), vol)
+    mode = sys.argv[2] if len(sys.argv) > 2 else "default"
     kp_lo, ds_lo, ms_lo = run(s3d.SIFT3D(s3d.DetectorParams(
-        conv_precision="default")), vol)
+        conv_precision=mode)), vol)
 
     print(f"highest: {ms_hi:.2f} ms, {len(kp_hi)} keypoints")
-    print(f"default: {ms_lo:.2f} ms, {len(kp_lo)} keypoints")
+    print(f"{mode}: {ms_lo:.2f} ms, {len(kp_lo)} keypoints")
 
     set_hi = {tuple(c) + (o,) for c, o in zip(
         kp_hi.coords.astype(int).tolist(), kp_hi.octave.tolist())}
