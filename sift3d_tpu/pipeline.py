@@ -182,6 +182,10 @@ def _bucket(n: int, cap: int, minimum: int = 32) -> int:
 # candidates fall back to exact per-segment dispatches.
 _SPEC_ORI_SLOTS = 256
 
+# HBM budget for one sub-batch dispatch of the fused batched program (the
+# program's window transients cost ~10-15x the volume per batch element).
+_BATCH_HBM_BUDGET = 2_500_000_000
+
 
 @functools.lru_cache(maxsize=64)
 def _seg_slice_fn(bucket: int, with_ref: bool):
@@ -372,6 +376,47 @@ def _detect_batch_fn(plan: PyramidPlan, batch: int):
     return run_batch, caps
 
 
+class _BatchGpyrView:
+    """Per-volume view of a batched pyramid: slices [B, ...] octave arrays
+    lazily so serving descriptors from the speculative cache issues no
+    device ops at all (each eager slice is a dispatch on a high-latency
+    link)."""
+
+    def __init__(self, gpyr_b, b):
+        self._gpyr_b, self._b = gpyr_b, b
+
+    def __getitem__(self, o):
+        return self._gpyr_b[o][self._b]
+
+    def __len__(self):
+        return len(self._gpyr_b)
+
+
+class _ChunkedOctave:
+    """Lazy [b] indexing of one octave of a sub-batch-chunked pyramid."""
+
+    def __init__(self, chunks, o, sub):
+        self._chunks, self._o, self._sub = chunks, o, sub
+
+    def __getitem__(self, b):
+        return self._chunks[b // self._sub][self._o][b % self._sub]
+
+
+class _ChunkedBatchGpyr:
+    """Batched pyramid stored as per-sub-batch chunks (HBM-sized
+    dispatches); presents the same [o][b] indexing as a monolithic batched
+    pyramid, lazily."""
+
+    def __init__(self, chunks, sub):
+        self._chunks, self._sub = chunks, sub
+
+    def __getitem__(self, o):
+        return _ChunkedOctave(self._chunks, o, self._sub)
+
+    def __len__(self):
+        return len(self._chunks[0])
+
+
 class SIFT3D:
     """SIFT3D detector + descriptor extractor (TPU-native).
 
@@ -398,6 +443,7 @@ class SIFT3D:
         self._hint: dict[int, tuple[int, int]] | None = None
         self._hint_plan = None
         self._spec_desc_cache: dict | None = None
+        self._batch_desc_caches: list | None = None
 
     # -- detection ----------------------------------------------------------
 
@@ -409,6 +455,7 @@ class SIFT3D:
         hint = (self._hint if not extensions and self._hint_plan == plan
                 else None)
         self._spec_desc_cache = None
+        self._batch_desc_caches = None
 
         if hint is not None:
             # Fused hinted program: ONE dispatch computes pyramid, extrema,
@@ -554,17 +601,78 @@ class SIFT3D:
             sd=np.concatenate(sd_l), strength=strength,
             R=np.concatenate(R_l))
 
+    def _detect_batch_hinted(self, vols, plan, hint):
+        """Batched detection through the vmapped fused hinted program:
+        pyramid+extrema+orientation+descriptors for every volume with a
+        handful of async dispatches (sub-batches sized to HBM — the fused
+        program's window transients cost ~10-15x the volume per batch
+        element) and ONE device_get for all payloads. Returns the list of
+        Keypoints, or None if any volume outgrew the hinted capacities
+        (caller falls back to the exact per-volume path)."""
+        B = vols.shape[0]
+        cfg = _hint_cfg(plan, hint, self.params)
+        run = _detect_full_fn(plan, cfg)
+        nvox = int(np.prod(vols.shape[1:]))
+        sub = min(B, max(1, int(_BATCH_HBM_BUDGET // (nvox * 4 * 14))))
+        while B % sub:  # one compiled sub-batch shape
+            sub -= 1
+        chunks = []
+        for s in range(0, B, sub):
+            chunks.append(jax.vmap(run)(vols[s:s + sub]))
+        self._plan = plan
+        self._gpyr = _ChunkedBatchGpyr([c[0] for c in chunks], sub)
+        self._input_shape = tuple(vols.shape[1:])
+        self._batched = True
+        counts_c, octs_c = jax.device_get(
+            ([c[2] for c in chunks], [c[3] for c in chunks]))
+        counts_b = np.concatenate(counts_c)            # [B, n_oct, nl]
+        octs_host = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs), *octs_c)
+        fit = all(
+            int(np.sum(counts_b[b, o])) <= cfg[o][1]
+            and int(octs_host[o]["acc_count"][b]) <= cfg[o][2]
+            for b in range(B) for o in range(plan.num_octaves))
+        if not fit:
+            return None
+        out, caches, hints = [], [], []
+        for b in range(B):
+            octs_v = [jax.tree_util.tree_map(lambda x: x[b], od)
+                      for od in octs_host]
+            out.append(self._assemble_hinted(plan, counts_b[b], octs_v))
+            caches.append(self._spec_desc_cache)
+            hints.append(self._hint)
+        # The batch hint sizes the NEXT batch: per-octave max over volumes.
+        self._hint = {o: (max(h[o][0] for h in hints),
+                          max(h[o][1] for h in hints))
+                      for o in range(plan.num_octaves)}
+        self._hint_plan = plan
+        self._batch_desc_caches = caches
+        self._spec_desc_cache = None
+        return out
+
     def detect_keypoints_batch(self, vols, units=(1.0, 1.0, 1.0)):
         """Detect keypoints for a batch of same-shape volumes [B, nx, ny,
         nz] with one compiled program (per-volume orientation dispatches
         share cached jits). Returns a list of Keypoints. The detector's
         cached pyramid afterwards is the *batch* pyramid; use
-        extract_descriptors_batch for descriptors."""
+        extract_descriptors_batch for descriptors.
+
+        Like the single-volume path, the second batch on a plan runs the
+        fused hinted program (vmapped over B) — one dispatch + one
+        device_get end-to-end, with descriptors served speculatively by
+        extract_descriptors_batch."""
         extensions = (self.params.refine_subvoxel
                       or self.params.edge_thresh is not None)
         vols = jnp.asarray(vols, jnp.float32)
         B = vols.shape[0]
         plan = make_plan(vols.shape[1:], units, self.params)
+        self._batch_desc_caches = None
+        hint = (self._hint if not extensions and self._hint_plan == plan
+                else None)
+        if hint is not None:
+            kps = self._detect_batch_hinted(vols, plan, hint)
+            if kps is not None:
+                return kps
         run, caps = _detect_batch_fn(plan, B)
         gpyr_b, per_oct_b, counts_dev = run(vols)
         self._plan, self._gpyr = plan, gpyr_b
@@ -595,6 +703,14 @@ class SIFT3D:
             out.append(self._assemble(
                 plan, caps_v, per_oct, counts_b[b],
                 lambda o, i, b=b: gpyr_b[o][b, i]))
+        if not extensions:
+            # Learn the batch hint (per-octave max over volumes): the next
+            # batch on this plan runs the fused hinted program.
+            self._hint = {
+                o: (max(int(np.sum(counts_b[b, o])) for b in range(B)),
+                    max(int(np.sum(out[b].octave == o)) for b in range(B)))
+                for o in range(plan.num_octaves)}
+            self._hint_plan = plan
         return out
 
     def extract_descriptors_batch(self, kps) -> list[Descriptors]:
@@ -611,7 +727,9 @@ class SIFT3D:
             proxy = SIFT3D(self.params, self.stale_strength_compat)
             proxy._plan = self._plan
             proxy._input_shape = self._input_shape
-            proxy._gpyr = [g[b] for g in self._gpyr]
+            proxy._gpyr = _BatchGpyrView(self._gpyr, b)
+            if self._batch_desc_caches is not None:
+                proxy._spec_desc_cache = self._batch_desc_caches[b]
             out.append(proxy.extract_descriptors(kp))
         return out
 

@@ -184,15 +184,24 @@ def ransac_affine(src_pts: np.ndarray, dst_pts: np.ndarray,
 
 def register(fixed, moving, params=None, nn_thresh: float = 0.8,
              err_thresh: float = 5.0, num_iter: int = 500,
-             kp_limit: int = 0, seed: int = 0) -> RegistrationResult:
+             kp_limit: int = 0, seed: int = 0,
+             detectors=None) -> RegistrationResult:
     """Full SIFT3D registration: detect + describe both volumes, match
-    descriptors, RANSAC an affine (moving -> fixed)."""
+    descriptors, RANSAC an affine (moving -> fixed).
+
+    detectors: optional (det_fixed, det_moving) pair of SIFT3D objects to
+    reuse across calls — a detector that has already seen a same-shape
+    volume runs the fused hinted detection program (one dispatch + one
+    transfer per volume) instead of the cold per-stage path."""
     from .pipeline import SIFT3D
 
     fixed = as_volume(fixed)
     moving = as_volume(moving)
-    det_f = SIFT3D(params) if params else SIFT3D()
-    det_m = SIFT3D(params) if params else SIFT3D()
+    if detectors is not None:
+        det_f, det_m = detectors
+    else:
+        det_f = SIFT3D(params) if params else SIFT3D()
+        det_m = SIFT3D(params) if params else SIFT3D()
 
     kp_f = det_f.detect_keypoints(fixed)
     kp_m = det_m.detect_keypoints(moving)
@@ -214,7 +223,8 @@ def register(fixed, moving, params=None, nn_thresh: float = 0.8,
 def register_batch(fixed_vols, moving_vols, params=None,
                    nn_thresh: float = 0.8, err_thresh: float = 5.0,
                    num_iter: int = 500, kp_limit: int = 0, seed: int = 0,
-                   units=(1.0, 1.0, 1.0)) -> "list[RegistrationResult]":
+                   units=(1.0, 1.0, 1.0),
+                   det=None) -> "list[RegistrationResult]":
     """Register B same-shape volume pairs (BASELINE config 5).
 
     All 2B volumes run through ONE batched detection program
@@ -229,7 +239,8 @@ def register_batch(fixed_vols, moving_vols, params=None,
     B = len(fixed_vols)
     if len(moving_vols) != B:
         raise ValueError("fixed/moving batch sizes differ")
-    det = SIFT3D(params) if params else SIFT3D()
+    if det is None:
+        det = SIFT3D(params) if params else SIFT3D()
     import jax.numpy as jnp_
     vols = jnp_.concatenate([jnp_.asarray(fixed_vols, jnp_.float32),
                              jnp_.asarray(moving_vols, jnp_.float32)])
