@@ -96,7 +96,8 @@ def _refine_core(nb, dp, dn, valid, params: DetectorParams):
 
     # --- edge rejection ---
     if params.edge_thresh is not None:
-        lam = jnp.linalg.eigvalsh(H)                # ascending, [K, 3]
+        from .orientation import eigh3x3
+        lam, _ = eigh3x3(H)                         # ascending, [K, 3]
         alam = jnp.abs(lam)
         ratio = jnp.max(alam, axis=-1) / jnp.maximum(
             jnp.min(alam, axis=-1), 1e-20)

@@ -130,3 +130,43 @@ def test_detection_funnel_consistency():
                 - f["reject_corner"] == f["survivors"]), name
     # renders without error
     assert "candidates" in format_funnel(stats)
+
+
+def test_eigh3x3_matches_lapack():
+    """The fixed-sweep Jacobi eigensolver must match LAPACK: eigenvalues
+    ascending to f32 precision, eigenvectors (up to sign) wherever the
+    spectrum is separated, orthonormal V, small residuals."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sift3d_tpu.orientation import eigh3x3
+
+    rng = np.random.default_rng(0)
+    mats = [
+        (lambda B: (B + B.T).astype(np.float32))(rng.normal(size=(3, 3)))
+        for _ in range(500)]
+    for lams in ([1, 1, 1], [1, 1, 2], [0, 0, 0], [1e-6, 1, 1e6],
+                 [-3, -3, 5], [2, 2, 2 + 1e-6]):
+        Q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        mats.append((Q @ np.diag(lams) @ Q.T).astype(np.float32))
+    A = jnp.asarray(np.stack(mats))
+    w, V = jax.jit(eigh3x3)(A)
+    w, V = np.asarray(w, np.float64), np.asarray(V, np.float64)
+    w_ref, V_ref = np.linalg.eigh(np.asarray(A, np.float64))
+
+    scale = np.abs(w_ref).max(axis=1, keepdims=True) + 1e-30
+    assert np.max(np.abs(w - w_ref) / scale) < 2e-6
+    assert np.all(np.diff(w, axis=1) >= -1e-5 * scale)
+    # orthonormality + eigen-residual
+    I = np.einsum("bij,bik->bjk", V, V)
+    assert np.abs(I - np.eye(3)).max() < 5e-6
+    res = np.einsum("bij,bjk->bik", np.asarray(A, np.float64), V) \
+        - w[:, None, :] * V
+    assert np.max(np.abs(res) / scale[:, :, None]) < 5e-6
+    # eigenvectors where the spectrum is separated
+    gap = np.diff(w_ref, axis=1) / scale
+    well = np.stack([gap[:, 0] > 1e-2,
+                     (gap[:, 0] > 1e-2) & (gap[:, 1] > 1e-2),
+                     gap[:, 1] > 1e-2], axis=1)
+    cos = np.abs(np.einsum("bij,bij->bj", V, V_ref))
+    assert cos[well].min() > 1 - 1e-5
