@@ -76,6 +76,7 @@ def main(argv=None):
     ap.add_argument("--mesh", action="store_true",
                     help="shard the batched config over all local devices")
     ap.add_argument("--skip-batch", action="store_true")
+    ap.add_argument("--skip-single", action="store_true")
     args = ap.parse_args(argv)
 
     from sift3d_tpu.pipeline import SIFT3D
@@ -88,25 +89,26 @@ def main(argv=None):
     # --- config 4: single-pair latency ---------------------------------
     # Steady-state model: a long-lived service keeps its detectors, so
     # repeat calls run the fused hinted detection program.
-    dets = (SIFT3D(), SIFT3D())
-    t0 = time.perf_counter()
-    res = register(fixed, moving, detectors=dets)
-    cold_s = time.perf_counter() - t0
-    print(f"# pair registration (cold, incl. compile): {cold_s:.2f} s",
-          file=sys.stderr)
-    times = []
-    for _ in range(args.repeats):
+    if not args.skip_single:
+        dets = (SIFT3D(), SIFT3D())
         t0 = time.perf_counter()
         res = register(fixed, moving, detectors=dets)
-        times.append(time.perf_counter() - t0)
-    ms = min(times) * 1e3
-    err = affine_corner_error(res.affine, A_true, n)
-    print(json.dumps({
-        "metric": f"{n}^3 pair registration latency",
-        "value": round(ms, 2), "unit": "ms",
-        "affine_err_vox": round(err, 3),
-        "matches": res.num_matches, "inliers": res.num_inliers,
-    }))
+        cold_s = time.perf_counter() - t0
+        print(f"# pair registration (cold, incl. compile): {cold_s:.2f} s",
+              file=sys.stderr)
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            res = register(fixed, moving, detectors=dets)
+            times.append(time.perf_counter() - t0)
+        ms = min(times) * 1e3
+        err = affine_corner_error(res.affine, A_true, n)
+        print(json.dumps({
+            "metric": f"{n}^3 pair registration latency",
+            "value": round(ms, 2), "unit": "ms",
+            "affine_err_vox": round(err, 3),
+            "matches": res.num_matches, "inliers": res.num_inliers,
+        }))
 
     if args.skip_batch:
         return
@@ -148,12 +150,14 @@ def main(argv=None):
         times.append(time.perf_counter() - t0)
     s = min(times)
     errs = [affine_corner_error(r.affine, p[2], bn)
-            for r, p in zip(results, pairs)]
+            for r, p in zip(results, pairs) if r.affine is not None]
     print(json.dumps({
         "metric": f"{bn}^3 batched pair registration throughput",
         "value": round(B / s, 3), "unit": "pairs/s",
         "batch": B, "mesh": bool(args.mesh),
-        "affine_err_vox_mean": round(float(np.mean(errs)), 3),
+        "registered": len(errs),
+        "affine_err_vox_mean": (round(float(np.mean(errs)), 3)
+                                if errs else None),
         "inliers": [r.num_inliers for r in results],
     }))
 
