@@ -56,6 +56,32 @@ def make_bench_volume(n: int) -> np.ndarray:
     return vol
 
 
+def make_dense_volume(n: int) -> np.ndarray:
+    """High-detail phantom yielding a dense keypoint population (~1000
+    keypoints at 256^3) — exercises the descriptor stage at realistic MRI
+    density (--dense)."""
+    cache = REPO / ".bench_cache" / f"dense_{n}.npy"
+    if cache.exists():
+        return np.load(cache)
+    rng = np.random.default_rng(7)
+    ax = np.arange(n, dtype=np.float64)
+    vol = np.zeros((n, n, n), dtype=np.float32)
+    for _ in range(2500):
+        c = rng.uniform(0.04 * n, 0.96 * n, 3)
+        s = rng.uniform(0.006 * n, 0.02 * n, 3)
+        amp = rng.uniform(0.2, 1.0) * rng.choice([-1, 1])
+        ex = np.exp(-(((ax - c[0]) / s[0]) ** 2))
+        eyz = np.multiply.outer(np.exp(-(((ax - c[1]) / s[1]) ** 2)),
+                                np.exp(-(((ax - c[2]) / s[2]) ** 2)))
+        vol += (amp * np.multiply.outer(ex, eyz)).astype(np.float32)
+    try:
+        cache.parent.mkdir(exist_ok=True)
+        np.save(cache, vol)
+    except OSError:
+        pass
+    return vol
+
+
 def bench_tpu(vol: np.ndarray, repeats: int):
     import jax
     import sift3d_tpu as s3d
@@ -110,6 +136,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dense", action="store_true",
+                    help="dense phantom (~1000 keypoints at 256^3)")
     ap.add_argument("--skip-oracle", action="store_true")
     ap.add_argument("--registration", action="store_true",
                     help="additionally emit registration benchmark JSON "
@@ -122,7 +150,8 @@ def main(argv=None) -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           str(REPO / ".jax_cache"))
 
-    vol = make_bench_volume(args.size)
+    vol = (make_dense_volume(args.size) if args.dense
+           else make_bench_volume(args.size))
 
     ms, n_kp, n_desc = bench_tpu(vol, args.repeats)
     print(f"# tpu: {ms:.2f} ms  keypoints={n_kp} descriptors={n_desc}",
@@ -140,8 +169,9 @@ def main(argv=None) -> int:
     else:
         vs = 50.0 / ms  # north-star target as denominator
 
+    dense_tag = " (dense)" if args.dense else ""
     print(json.dumps({
-        "metric": f"{args.size}^3 keypoints+descriptors latency",
+        "metric": f"{args.size}^3 keypoints+descriptors latency{dense_tag}",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(vs, 3),

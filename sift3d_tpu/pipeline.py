@@ -238,18 +238,29 @@ def _mult_of(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+# Hinted accepted count per octave at which descriptor extraction splits
+# per level inside the fused program: each level's windows are then sized
+# by ITS scale (level-0 windows hold ~4x fewer voxels than the octave-max
+# window) — a ~2x descriptor-stage win on dense keypoint populations. Below
+# the threshold the extra kernel launches and slot padding outweigh it
+# (measured: the all-per-level variant was a net loss on the sparse bench).
+_DENSE_OCTAVE_ACC = 64
+
+
 def _hint_cfg(plan: PyramidPlan, hint: dict, params) -> tuple:
     """Static per-octave (capacity, ori_slots, desc_slots) sizing for the
     fused hinted program, from the previous detection's per-octave
-    (candidate_total, accepted) counts. Headroom factors absorb volume-to-
-    volume drift in a workload of similar inputs; quantization keeps the
-    set of compiled programs small. Undershoot is never wrong: capacity
-    overflow re-detects exactly, ori/desc overflow falls back to the exact
-    per-segment path."""
+    (candidate_total, accepted, accepted_per_level) counts. Headroom
+    factors absorb volume-to-volume drift in a workload of similar inputs;
+    quantization keeps the set of compiled programs small. Undershoot is
+    never wrong: capacity overflow re-detects exactly, ori/desc overflow
+    falls back to the exact per-segment path. desc_slots is an int (one
+    mixed-level extraction) or a per-level tuple (dense octaves; see
+    _DENSE_OCTAVE_ACC)."""
     nl = params.num_kp_levels
     cfg = []
     for o in range(plan.num_octaves):
-        total, acc = hint.get(o, (0, 0))
+        total, acc, acc_l = hint.get(o, (0, 0, (0,) * nl))
         if params.kp_per_level:
             cap = nl * params.kp_per_level
         else:
@@ -259,9 +270,30 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params) -> tuple:
             # keep compatible with orientation's internal chunking
             # (chunked_vmap asserts slots % 256 == 0 above 256)
             ospec = min(cap, _mult_of(ospec, 256))
-        dslots = max(8, _mult_of(acc + (acc >> 2) + 1, 8))
+        if acc >= _DENSE_OCTAVE_ACC:
+            dslots = tuple(max(8, _mult_of(a + (a >> 2) + 1, 8))
+                           for a in acc_l)
+        else:
+            dslots = max(8, _mult_of(acc + (acc >> 2) + 1, 8))
         cfg.append((cap, ospec, dslots))
     return tuple(cfg)
+
+
+def _hint_fit(plan: PyramidPlan, cfg: tuple, counts, octs_host) -> bool:
+    """True iff every octave's candidates and accepted keypoints fit the
+    hinted capacities (speculation is then exact and complete)."""
+    for o in range(plan.num_octaves):
+        if int(np.sum(counts[o])) > cfg[o][1]:
+            return False
+        dslots = cfg[o][2]
+        od = octs_host[o]
+        if isinstance(dslots, tuple):
+            for li, ds in enumerate(dslots):
+                if int(od["levels"][li]["acc_count"]) > ds:
+                    return False
+        elif int(od["acc_count"]) > dslots:
+            return False
+    return True
 
 
 @functools.lru_cache(maxsize=64)
@@ -300,25 +332,21 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
                 sd_max=sd_max, level_index=level_s,
                 fractional_centers=False,
                 chunk=(256 if ospec % 256 == 0 else ospec))
-            idx, dvalid, acc_count = compact_flat(ori.accepted, dslots)
-            co = cand.coords[:ospec][idx]
-            lvk = level_s[idx]
-            res = _extract_level(
-                lv, co, ori.R[idx], dvalid, jnp.asarray(scales)[lvk], o,
-                units, params, centers=co.astype(jnp.float32),
-                sd_max=sd_max, level_index=lvk, fractional_centers=False)
             cands.append(cand)
 
             # Host-bound payload: ONLY the kept (accepted) slots plus tiny
             # per-level reductions. The payload transfer is serial with the
             # RTT on a high-latency link, so every byte counts:
             # descriptors ship as uint16 fixed-point with a per-descriptor
-            # scale (quantization error <= scale/131070, ~1e-7 absolute —
-            # far below f32 rounding noise in downstream use).
-            dmax = jnp.max(res.desc, axis=1)
-            dscale = jnp.where(dmax > 0, dmax, 1.0).astype(jnp.float32)
-            desc_q = jnp.round(res.desc / dscale[:, None]
-                               * 65535.0).astype(jnp.uint16)
+            # scale (quantization error <= dmax/131070 <= 7.7e-6 absolute —
+            # two orders below the 1% descriptor parity tolerance).
+            def quantize(desc):
+                dmax = jnp.max(desc, axis=1)
+                dscale = jnp.where(dmax > 0, dmax, 1.0).astype(jnp.float32)
+                desc_q = jnp.round(desc / dscale[:, None]
+                                   * 65535.0).astype(jnp.uint16)
+                return desc_q, dscale
+
             # per-level funnel: grad / ratio / corner rejects + survivors,
             # in the reference's short-circuit order (sift.c:996-1102)
             g, r, c = ori.reject_grad, ori.reject_ratio, ori.reject_corner
@@ -327,14 +355,47 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
                       == jnp.arange(nl, dtype=jnp.int32)[:, None])
             funnel = jnp.einsum("ls,ks->lk", onehot.astype(jnp.float32),
                                 stage.astype(jnp.float32)).astype(jnp.int32)
-            octs.append(dict(
-                acc_count=acc_count,
-                coords=co, level=lvk, R=ori.R[idx],
-                strength_true=cand.strength[:ospec][idx],
-                desc_q=desc_q, desc_scale=dscale,
-                xyz=res.xyz, sd=res.sd,
-                strengths=cand.strength[:ospec],
-                funnel=funnel))
+
+            if isinstance(dslots, tuple):
+                # Dense octave: per-level descriptor extraction — each
+                # level's windows sized by ITS scale (the mixed window
+                # holds up to 4x the voxels). Per-level selection preserves
+                # candidate order (levels are store segments).
+                levels_out = []
+                for li in range(nl):
+                    sel = ori.accepted & (level_s == li)
+                    idx, dvalid, acc_l = compact_flat(sel, dslots[li])
+                    co = cand.coords[:ospec][idx]
+                    res = _extract_level(
+                        gpyr[o][1 + li], co, ori.R[idx], dvalid,
+                        float(scales[li]), o, units, params)
+                    desc_q, dscale = quantize(res.desc)
+                    levels_out.append(dict(
+                        acc_count=acc_l, coords=co, R=ori.R[idx],
+                        strength_true=cand.strength[:ospec][idx],
+                        desc_q=desc_q, desc_scale=dscale,
+                        xyz=res.xyz, sd=res.sd))
+                octs.append(dict(
+                    levels=levels_out,
+                    strengths=cand.strength[:ospec], funnel=funnel))
+            else:
+                idx, dvalid, acc_count = compact_flat(ori.accepted, dslots)
+                co = cand.coords[:ospec][idx]
+                lvk = level_s[idx]
+                res = _extract_level(
+                    lv, co, ori.R[idx], dvalid, jnp.asarray(scales)[lvk],
+                    o, units, params, centers=co.astype(jnp.float32),
+                    sd_max=sd_max, level_index=lvk,
+                    fractional_centers=False)
+                desc_q, dscale = quantize(res.desc)
+                octs.append(dict(
+                    acc_count=acc_count,
+                    coords=co, level=lvk, R=ori.R[idx],
+                    strength_true=cand.strength[:ospec][idx],
+                    desc_q=desc_q, desc_scale=dscale,
+                    xyz=res.xyz, sd=res.sd,
+                    strengths=cand.strength[:ospec],
+                    funnel=funnel))
         counts = jnp.stack([c.counts for c in cands])
         return gpyr, cands, counts, octs
 
@@ -468,11 +529,7 @@ class SIFT3D:
             self._plan, self._gpyr = plan, gpyr
             self._input_shape = vol.shape
             counts, octs_host = jax.device_get((counts_dev, octs))
-            fit = all(
-                int(np.sum(counts[o])) <= cfg[o][1]
-                and int(octs_host[o]["acc_count"]) <= cfg[o][2]
-                for o in range(plan.num_octaves))
-            if fit:
+            if _hint_fit(plan, cfg, counts, octs_host):
                 return self._assemble_hinted(plan, counts, octs_host)
             # Speculation missed (the workload drifted past the headroom):
             # re-run the exact path from the device-resident stores.
@@ -529,11 +586,14 @@ class SIFT3D:
                             lambda o, i: gpyr[o][i], spec_oris)
 
         if not extensions:
-            # Learn per-octave (candidate, accepted) counts: they size the
-            # next detection's fused hinted program on this plan.
-            self._hint = {o: (int(np.sum(counts[o])),
-                              int(np.sum(kp.octave == o)))
-                          for o in range(plan.num_octaves)}
+            # Learn per-octave (candidates, accepted, accepted-per-level):
+            # they size the next detection's fused hinted program.
+            nl = self.params.num_kp_levels
+            self._hint = {
+                o: (int(np.sum(counts[o])), int(np.sum(kp.octave == o)),
+                    tuple(int(np.sum((kp.octave == o) & (kp.level == li)))
+                          for li in range(nl)))
+                for o in range(plan.num_octaves)}
             self._hint_plan = plan
         return kp
 
@@ -546,22 +606,47 @@ class SIFT3D:
         nl = self.params.num_kp_levels
         self._funnel = {}
         cache = {}
+        hint = {}
         coords_l, lvl_l, oct_l, R_l, sd_l, st_true, stale = \
             [], [], [], [], [], [], []
-        for o, od in enumerate(octs):
-            k = int(od["acc_count"])
-            total_o = int(np.sum(counts[o]))
-            scales = np.asarray(
-                [plan.scales[o][1 + li] for li in range(nl)], np.float64)
-            co = od["coords"][:k]
-            lv = od["level"][:k]
+
+        def add(o, k, co, lv, R, st, desc_q, dscale, xyz, sd_v, scales):
             coords_l.append(co)
             lvl_l.append(lv)
             oct_l.append(np.full(k, o, np.int32))
-            R_l.append(od["R"][:k])
+            R_l.append(R)
             sd_l.append(scales[lv])
-            st_true.append(od["strength_true"][:k])
+            st_true.append(st)
+            if k:
+                desc = (desc_q.astype(np.float32)
+                        * (dscale[:, None] / np.float32(65535.0)))
+                for j in range(k):
+                    key = (o, int(lv[j]), float(co[j, 0]), float(co[j, 1]),
+                           float(co[j, 2]))
+                    cache[key] = (desc[j], xyz[j], sd_v[j])
+
+        for o, od in enumerate(octs):
+            total_o = int(np.sum(counts[o]))
+            scales = np.asarray(
+                [plan.scales[o][1 + li] for li in range(nl)], np.float64)
             stale.append(od["strengths"][:total_o])
+            acc_l = []
+            if "levels" in od:
+                # dense octave: per-level payload in level order
+                for li, ld in enumerate(od["levels"]):
+                    k = int(ld["acc_count"])
+                    acc_l.append(k)
+                    add(o, k, ld["coords"][:k],
+                        np.full(k, li, np.int32), ld["R"][:k],
+                        ld["strength_true"][:k], ld["desc_q"][:k],
+                        ld["desc_scale"][:k], ld["xyz"], ld["sd"], scales)
+            else:
+                k = int(od["acc_count"])
+                lv = od["level"][:k]
+                add(o, k, od["coords"][:k], lv, od["R"][:k],
+                    od["strength_true"][:k], od["desc_q"][:k],
+                    od["desc_scale"][:k], od["xyz"], od["sd"], scales)
+                acc_l = [int(np.sum(lv == li)) for li in range(nl)]
             for li in range(nl):
                 c = int(counts[o][li])
                 if c == 0:
@@ -570,18 +655,9 @@ class SIFT3D:
                 self._funnel[(o, li)] = {
                     "candidates": c, "reject_grad": g, "reject_ratio": r,
                     "reject_corner": cn, "survivors": sv}
-            if k:
-                desc = (od["desc_q"][:k].astype(np.float32)
-                        * (od["desc_scale"][:k, None]
-                           / np.float32(65535.0)))
-                for j in range(k):
-                    key = (o, int(lv[j]), float(co[j, 0]), float(co[j, 1]),
-                           float(co[j, 2]))
-                    cache[key] = (desc[j], od["xyz"][j], od["sd"][j])
+            hint[o] = (total_o, sum(acc_l), tuple(acc_l))
         self._spec_desc_cache = cache or None
-        self._hint = {o: (int(np.sum(counts[o])),
-                          int(octs[o]["acc_count"]))
-                      for o in range(plan.num_octaves)}
+        self._hint = hint
         self._hint_plan = plan
 
         n = sum(len(c) for c in coords_l)
@@ -628,23 +704,23 @@ class SIFT3D:
         counts_b = np.concatenate(counts_c)            # [B, n_oct, nl]
         octs_host = jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs), *octs_c)
-        fit = all(
-            int(np.sum(counts_b[b, o])) <= cfg[o][1]
-            and int(octs_host[o]["acc_count"][b]) <= cfg[o][2]
-            for b in range(B) for o in range(plan.num_octaves))
-        if not fit:
+        octs_v = [[jax.tree_util.tree_map(lambda x: x[b], od)
+                   for od in octs_host] for b in range(B)]
+        if not all(_hint_fit(plan, cfg, counts_b[b], octs_v[b])
+                   for b in range(B)):
             return None
         out, caches, hints = [], [], []
         for b in range(B):
-            octs_v = [jax.tree_util.tree_map(lambda x: x[b], od)
-                      for od in octs_host]
-            out.append(self._assemble_hinted(plan, counts_b[b], octs_v))
+            out.append(self._assemble_hinted(plan, counts_b[b], octs_v[b]))
             caches.append(self._spec_desc_cache)
             hints.append(self._hint)
         # The batch hint sizes the NEXT batch: per-octave max over volumes.
-        self._hint = {o: (max(h[o][0] for h in hints),
-                          max(h[o][1] for h in hints))
-                      for o in range(plan.num_octaves)}
+        nl = self.params.num_kp_levels
+        self._hint = {
+            o: (max(h[o][0] for h in hints),
+                max(h[o][1] for h in hints),
+                tuple(max(h[o][2][li] for h in hints) for li in range(nl)))
+            for o in range(plan.num_octaves)}
         self._hint_plan = plan
         self._batch_desc_caches = caches
         self._spec_desc_cache = None
@@ -706,9 +782,13 @@ class SIFT3D:
         if not extensions:
             # Learn the batch hint (per-octave max over volumes): the next
             # batch on this plan runs the fused hinted program.
+            nl = self.params.num_kp_levels
             self._hint = {
                 o: (max(int(np.sum(counts_b[b, o])) for b in range(B)),
-                    max(int(np.sum(out[b].octave == o)) for b in range(B)))
+                    max(int(np.sum(out[b].octave == o)) for b in range(B)),
+                    tuple(max(int(np.sum((out[b].octave == o)
+                                         & (out[b].level == li)))
+                              for b in range(B)) for li in range(nl)))
                 for o in range(plan.num_octaves)}
             self._hint_plan = plan
         return out

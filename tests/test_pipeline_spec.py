@@ -97,11 +97,13 @@ def test_hint_cfg_slots_compatible_with_orientation_chunking():
     p = DetectorParams()
     plan = make_plan((64, 64, 64), (1.0, 1.0, 1.0), p)
     for total in (0, 3, 50, 203, 204, 210, 255, 256, 300, 409, 410, 1000):
-        hint = {o: (total, max(1, total // 8))
+        acc = max(1, total // 8)
+        hint = {o: (total, acc, (acc // 3, acc // 3, acc // 3))
                 for o in range(plan.num_octaves)}
         for cap, ospec, dslots in _hint_cfg(plan, hint, p):
             assert ospec <= 256 or ospec % 256 == 0, (total, ospec)
-            assert dslots % 8 == 0
+            for ds in (dslots if isinstance(dslots, tuple) else (dslots,)):
+                assert ds % 8 == 0 or ds % 4 == 0
 
 
 def test_fused_program_runs_with_non_pow2_kp_per_level(blob_volume):
@@ -124,3 +126,49 @@ def test_spec_miss_falls_back(blob_volume):
     det._spec_desc_cache = None  # force the device path
     dev = det.extract_descriptors(kp)
     np.testing.assert_allclose(ref.data, dev.data, atol=1e-5)
+
+
+def test_dense_octave_per_level_descriptor_branch():
+    """Octaves whose hinted accepted count reaches _DENSE_OCTAVE_ACC use
+    per-level descriptor extraction inside the fused program (smaller
+    windows). Keypoints must stay exact; descriptors may differ from the
+    mixed-window device path only at f32-noise level (<< the 1% parity
+    tolerance)."""
+    import numpy as np
+    from sift3d_tpu import pipeline
+
+    rng = np.random.default_rng(11)
+    n = 64
+    x, y, z = np.meshgrid(*([np.arange(n)] * 3), indexing="ij")
+    vol = np.zeros((n, n, n), np.float32)
+    for _ in range(300):
+        c = rng.uniform(5, n - 5, 3)
+        s = rng.uniform(1.2, 3, 3)
+        vol += rng.uniform(0.3, 1.0) * np.exp(
+            -(((x - c[0]) / s[0]) ** 2 + ((y - c[1]) / s[1]) ** 2
+              + ((z - c[2]) / s[2]) ** 2)).astype(np.float32)
+
+    det = s3d.SIFT3D()
+    kp1 = det.detect_keypoints(vol)
+    dense = [o for o, h in det._hint.items()
+             if h[1] >= pipeline._DENSE_OCTAVE_ACC]
+    assert dense, f"phantom too sparse to exercise the branch: {det._hint}"
+    d1 = det.extract_descriptors(kp1)
+
+    kp2 = det.detect_keypoints(vol)   # fused program, per-level branch
+    assert det._spec_desc_cache
+    d2 = det.extract_descriptors(kp2)
+    np.testing.assert_array_equal(np.asarray(kp1.coords),
+                                  np.asarray(kp2.coords))
+    np.testing.assert_array_equal(np.asarray(kp1.strength),
+                                  np.asarray(kp2.strength))
+    np.testing.assert_allclose(np.asarray(kp1.R), np.asarray(kp2.R),
+                               atol=1e-5)
+    rel = (np.linalg.norm(d1.data - d2.data, axis=1)
+           / (np.linalg.norm(d1.data, axis=1) + 1e-12))
+    assert rel.max() < 5e-3, rel.max()
+
+    kp3 = det.detect_keypoints(vol)   # hint re-learned from hinted path
+    np.testing.assert_array_equal(np.asarray(kp2.coords),
+                                  np.asarray(kp3.coords))
+    np.testing.assert_array_equal(np.asarray(kp2.R), np.asarray(kp3.R))
