@@ -64,6 +64,8 @@ def main():
                 acc += jnp.sum(ori.R) + jnp.sum(ori.accepted)
                 if not with_desc:
                     continue
+                if isinstance(dslots, tuple):  # dense hint: approximate
+                    dslots = sum(dslots)       # with one mixed extraction
                 idx, dvalid, acc_count = compact_flat(ori.accepted, dslots)
                 co = cand.coords[:ospec][idx]
                 lvk = level_s[idx]
