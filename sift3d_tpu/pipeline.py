@@ -238,42 +238,51 @@ def _mult_of(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-# Hinted accepted count per octave at which descriptor extraction splits
-# per level inside the fused program: each level's windows are then sized
-# by ITS scale (level-0 windows hold ~4x fewer voxels than the octave-max
-# window) — a ~2x descriptor-stage win on dense keypoint populations. Below
-# the threshold the extra kernel launches and slot padding outweigh it
-# (measured: the all-per-level variant was a net loss on the sparse bench).
+# Hinted per-octave counts at which orientation + descriptor extraction
+# split per level inside the fused program: each level's windows are then
+# sized by ITS scale (level-0 windows hold ~4x fewer voxels than the
+# octave-max window) — measured -35% on the dense descriptor stage and a
+# comparable cut of the orientation stage at ~1000 keypoints. Below the
+# thresholds the extra launches and slot padding outweigh it (measured:
+# the all-per-level variant was a net loss on the sparse bench).
 _DENSE_OCTAVE_ACC = 64
+_DENSE_OCTAVE_CAND = 512
 
 
 def _hint_cfg(plan: PyramidPlan, hint: dict, params) -> tuple:
     """Static per-octave (capacity, ori_slots, desc_slots) sizing for the
     fused hinted program, from the previous detection's per-octave
-    (candidate_total, accepted, accepted_per_level) counts. Headroom
-    factors absorb volume-to-volume drift in a workload of similar inputs;
-    quantization keeps the set of compiled programs small. Undershoot is
-    never wrong: capacity overflow re-detects exactly, ori/desc overflow
-    falls back to the exact per-segment path. desc_slots is an int (one
-    mixed-level extraction) or a per-level tuple (dense octaves; see
-    _DENSE_OCTAVE_ACC)."""
+    (candidates, accepted, accepted_per_level, candidates_per_level)
+    counts. Headroom factors absorb volume-to-volume drift in a workload
+    of similar inputs; quantization keeps the set of compiled programs
+    small. Undershoot is never wrong: capacity overflow re-detects
+    exactly, ori/desc overflow falls back to the exact per-segment path.
+    ori_slots/desc_slots are ints (one mixed-level pass per octave) or
+    per-level tuples together (dense octaves; _DENSE_OCTAVE_*)."""
     nl = params.num_kp_levels
     cfg = []
     for o in range(plan.num_octaves):
-        total, acc, acc_l = hint.get(o, (0, 0, (0,) * nl))
+        total, acc, acc_l, cand_l = hint.get(
+            o, (0, 0, (0,) * nl, (0,) * nl))
         if params.kp_per_level:
             cap = nl * params.kp_per_level
         else:
             cap = max(128, 1 << max(2 * total - 1, 1).bit_length())
-        ospec = min(cap, max(64, _mult_of(total + (total >> 2) + 1, 64)))
-        if ospec > 256:
-            # keep compatible with orientation's internal chunking
-            # (chunked_vmap asserts slots % 256 == 0 above 256)
-            ospec = min(cap, _mult_of(ospec, 256))
-        if acc >= _DENSE_OCTAVE_ACC:
+
+        def oslots(c):
+            s = min(cap, max(64, _mult_of(c + (c >> 2) + 1, 64)))
+            if s > 256:
+                # keep compatible with orientation's internal chunking
+                # (chunked_vmap asserts slots % 256 == 0 above 256)
+                s = min(cap, _mult_of(s, 256))
+            return s
+
+        if acc >= _DENSE_OCTAVE_ACC or total >= _DENSE_OCTAVE_CAND:
+            ospec = tuple(oslots(c) for c in cand_l)
             dslots = tuple(max(8, _mult_of(a + (a >> 2) + 1, 8))
                            for a in acc_l)
         else:
+            ospec = oslots(total)
             dslots = max(8, _mult_of(acc + (acc >> 2) + 1, 8))
         cfg.append((cap, ospec, dslots))
     return tuple(cfg)
@@ -283,15 +292,17 @@ def _hint_fit(plan: PyramidPlan, cfg: tuple, counts, octs_host) -> bool:
     """True iff every octave's candidates and accepted keypoints fit the
     hinted capacities (speculation is then exact and complete)."""
     for o in range(plan.num_octaves):
-        if int(np.sum(counts[o])) > cfg[o][1]:
+        cap, ospec, dslots = cfg[o]
+        if int(np.sum(counts[o])) > cap:
             return False
-        dslots = cfg[o][2]
         od = octs_host[o]
-        if isinstance(dslots, tuple):
-            for li, ds in enumerate(dslots):
-                if int(od["levels"][li]["acc_count"]) > ds:
+        if isinstance(ospec, tuple):
+            for li, (os_li, ds_li) in enumerate(zip(ospec, dslots)):
+                if (int(counts[o][li]) > os_li
+                        or int(od["levels"][li]["acc_count"]) > ds_li):
                     return False
-        elif int(od["acc_count"]) > dslots:
+        elif (int(np.sum(counts[o])) > ospec
+                or int(od["acc_count"]) > dslots):
             return False
     return True
 
@@ -314,6 +325,27 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
 
     @jax.jit
     def run(data):
+        # Host-bound payloads carry ONLY the kept (accepted) slots plus
+        # tiny per-level reductions. The payload transfer is serial with
+        # the RTT on a high-latency link, so every byte counts:
+        # descriptors ship as uint16 fixed-point with a per-descriptor
+        # scale (quantization error <= dmax/131070 <= 7.7e-6 absolute —
+        # two orders below the 1% descriptor parity tolerance).
+        def quantize(desc):
+            dmax = jnp.max(desc, axis=1)
+            dscale = jnp.where(dmax > 0, dmax, 1.0).astype(jnp.float32)
+            desc_q = jnp.round(desc / dscale[:, None]
+                               * 65535.0).astype(jnp.uint16)
+            return desc_q, dscale
+
+        # Rejection-funnel counts in the reference's short-circuit order
+        # (sift.c:996-1102).
+        def stages(ori):
+            g = ori.reject_grad
+            r = ~g & ori.reject_ratio
+            c = ~g & ~ori.reject_ratio & ori.reject_corner
+            return jnp.stack([g, r, c, ori.accepted])
+
         x = scale_to_unit(data)
         gpyr = build_gpyr(x, plan)
         cands, octs = [], []
@@ -323,62 +355,57 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
             units = plan.level_units(o)
             scales = np.asarray(
                 [plan.scales[o][1 + li] for li in range(nl)], np.float32)
-            sd_max = float(scales.max())
-            lv = gpyr[o][1:1 + nl]
-            level_s = cand.level[:ospec]
-            ori = assign_orientations(
-                lv, cand.coords[:ospec], cand.valid[:ospec],
-                jnp.asarray(scales)[level_s], units, params,
-                sd_max=sd_max, level_index=level_s,
-                fractional_centers=False,
-                chunk=(256 if ospec % 256 == 0 else ospec))
             cands.append(cand)
 
-            # Host-bound payload: ONLY the kept (accepted) slots plus tiny
-            # per-level reductions. The payload transfer is serial with the
-            # RTT on a high-latency link, so every byte counts:
-            # descriptors ship as uint16 fixed-point with a per-descriptor
-            # scale (quantization error <= dmax/131070 <= 7.7e-6 absolute —
-            # two orders below the 1% descriptor parity tolerance).
-            def quantize(desc):
-                dmax = jnp.max(desc, axis=1)
-                dscale = jnp.where(dmax > 0, dmax, 1.0).astype(jnp.float32)
-                desc_q = jnp.round(desc / dscale[:, None]
-                                   * 65535.0).astype(jnp.uint16)
-                return desc_q, dscale
-
-            # per-level funnel: grad / ratio / corner rejects + survivors,
-            # in the reference's short-circuit order (sift.c:996-1102)
-            g, r, c = ori.reject_grad, ori.reject_ratio, ori.reject_corner
-            stage = jnp.stack([g, ~g & r, ~g & ~r & c, ori.accepted])
-            onehot = (level_s[None, :]
-                      == jnp.arange(nl, dtype=jnp.int32)[:, None])
-            funnel = jnp.einsum("ls,ks->lk", onehot.astype(jnp.float32),
-                                stage.astype(jnp.float32)).astype(jnp.int32)
-
-            if isinstance(dslots, tuple):
-                # Dense octave: per-level descriptor extraction — each
-                # level's windows sized by ITS scale (the mixed window
-                # holds up to 4x the voxels). Per-level selection preserves
-                # candidate order (levels are store segments).
+            if isinstance(ospec, tuple):
+                # Dense octave: orientation AND descriptors grouped per
+                # level — each level's windows sized by ITS scale (the
+                # mixed window holds up to 4x the voxels; measured -35%
+                # on the descriptor stage at ~1000 keypoints). Per-level
+                # selection preserves candidate order (levels are store
+                # segments), and the numerics equal the exact per-segment
+                # fallback path exactly (same windows, same scalar sd).
                 levels_out = []
                 for li in range(nl):
-                    sel = ori.accepted & (level_s == li)
-                    idx, dvalid, acc_l = compact_flat(sel, dslots[li])
-                    co = cand.coords[:ospec][idx]
-                    res = _extract_level(
-                        gpyr[o][1 + li], co, ori.R[idx], dvalid,
-                        float(scales[li]), o, units, params)
+                    os_li, ds_li = ospec[li], dslots[li]
+                    sd_li = float(scales[li])
+                    level = gpyr[o][1 + li]
+                    sel = cand.valid & (cand.level == li)
+                    idx, lvalid, _ = compact_flat(sel, os_li)
+                    co = cand.coords[idx]
+                    ori = assign_orientations(
+                        level, co, lvalid, sd_li, units, params,
+                        chunk=(256 if os_li % 256 == 0 else os_li))
+                    idxd, dvalid, acc_l = compact_flat(ori.accepted, ds_li)
+                    cod = co[idxd]
+                    res = _extract_level(level, cod, ori.R[idxd], dvalid,
+                                         sd_li, o, units, params)
                     desc_q, dscale = quantize(res.desc)
                     levels_out.append(dict(
-                        acc_count=acc_l, coords=co, R=ori.R[idx],
-                        strength_true=cand.strength[:ospec][idx],
+                        acc_count=acc_l, coords=cod, R=ori.R[idxd],
+                        strength_true=cand.strength[idx][idxd],
                         desc_q=desc_q, desc_scale=dscale,
-                        xyz=res.xyz, sd=res.sd))
+                        xyz=res.xyz, sd=res.sd,
+                        funnel=jnp.sum(stages(ori), axis=1,
+                                       dtype=jnp.int32)))
                 octs.append(dict(
                     levels=levels_out,
-                    strengths=cand.strength[:ospec], funnel=funnel))
+                    strengths=cand.strength[:min(cap, sum(ospec))]))
             else:
+                sd_max = float(scales.max())
+                lv = gpyr[o][1:1 + nl]
+                level_s = cand.level[:ospec]
+                ori = assign_orientations(
+                    lv, cand.coords[:ospec], cand.valid[:ospec],
+                    jnp.asarray(scales)[level_s], units, params,
+                    sd_max=sd_max, level_index=level_s,
+                    fractional_centers=False,
+                    chunk=(256 if ospec % 256 == 0 else ospec))
+                onehot = (level_s[None, :]
+                          == jnp.arange(nl, dtype=jnp.int32)[:, None])
+                funnel = jnp.einsum(
+                    "ls,ks->lk", onehot.astype(jnp.float32),
+                    stages(ori).astype(jnp.float32)).astype(jnp.int32)
                 idx, dvalid, acc_count = compact_flat(ori.accepted, dslots)
                 co = cand.coords[:ospec][idx]
                 lvk = level_s[idx]
@@ -586,13 +613,15 @@ class SIFT3D:
                             lambda o, i: gpyr[o][i], spec_oris)
 
         if not extensions:
-            # Learn per-octave (candidates, accepted, accepted-per-level):
-            # they size the next detection's fused hinted program.
+            # Learn per-octave (candidates, accepted, accepted-per-level,
+            # candidates-per-level): they size the next detection's fused
+            # hinted program.
             nl = self.params.num_kp_levels
             self._hint = {
                 o: (int(np.sum(counts[o])), int(np.sum(kp.octave == o)),
                     tuple(int(np.sum((kp.octave == o) & (kp.level == li)))
-                          for li in range(nl)))
+                          for li in range(nl)),
+                    tuple(int(c) for c in counts[o]))
                 for o in range(plan.num_octaves)}
             self._hint_plan = plan
         return kp
@@ -625,6 +654,15 @@ class SIFT3D:
                            float(co[j, 2]))
                     cache[key] = (desc[j], xyz[j], sd_v[j])
 
+        def funnel_add(o, li, f):
+            c = int(counts[o][li])
+            if c == 0:
+                return
+            g, r, cn, sv = (int(v) for v in f)
+            self._funnel[(o, li)] = {
+                "candidates": c, "reject_grad": g, "reject_ratio": r,
+                "reject_corner": cn, "survivors": sv}
+
         for o, od in enumerate(octs):
             total_o = int(np.sum(counts[o]))
             scales = np.asarray(
@@ -640,6 +678,7 @@ class SIFT3D:
                         np.full(k, li, np.int32), ld["R"][:k],
                         ld["strength_true"][:k], ld["desc_q"][:k],
                         ld["desc_scale"][:k], ld["xyz"], ld["sd"], scales)
+                    funnel_add(o, li, ld["funnel"])
             else:
                 k = int(od["acc_count"])
                 lv = od["level"][:k]
@@ -647,15 +686,10 @@ class SIFT3D:
                     od["strength_true"][:k], od["desc_q"][:k],
                     od["desc_scale"][:k], od["xyz"], od["sd"], scales)
                 acc_l = [int(np.sum(lv == li)) for li in range(nl)]
-            for li in range(nl):
-                c = int(counts[o][li])
-                if c == 0:
-                    continue
-                g, r, cn, sv = (int(v) for v in od["funnel"][li])
-                self._funnel[(o, li)] = {
-                    "candidates": c, "reject_grad": g, "reject_ratio": r,
-                    "reject_corner": cn, "survivors": sv}
-            hint[o] = (total_o, sum(acc_l), tuple(acc_l))
+                for li in range(nl):
+                    funnel_add(o, li, od["funnel"][li])
+            hint[o] = (total_o, sum(acc_l), tuple(acc_l),
+                       tuple(int(c) for c in counts[o]))
         self._spec_desc_cache = cache or None
         self._hint = hint
         self._hint_plan = plan
@@ -719,7 +753,8 @@ class SIFT3D:
         self._hint = {
             o: (max(h[o][0] for h in hints),
                 max(h[o][1] for h in hints),
-                tuple(max(h[o][2][li] for h in hints) for li in range(nl)))
+                tuple(max(h[o][2][li] for h in hints) for li in range(nl)),
+                tuple(max(h[o][3][li] for h in hints) for li in range(nl)))
             for o in range(plan.num_octaves)}
         self._hint_plan = plan
         self._batch_desc_caches = caches
@@ -788,7 +823,9 @@ class SIFT3D:
                     max(int(np.sum(out[b].octave == o)) for b in range(B)),
                     tuple(max(int(np.sum((out[b].octave == o)
                                          & (out[b].level == li)))
-                              for b in range(B)) for li in range(nl)))
+                              for b in range(B)) for li in range(nl)),
+                    tuple(max(int(counts_b[b, o, li]) for b in range(B))
+                          for li in range(nl)))
                 for o in range(plan.num_octaves)}
             self._hint_plan = plan
         return out

@@ -98,12 +98,14 @@ def test_hint_cfg_slots_compatible_with_orientation_chunking():
     plan = make_plan((64, 64, 64), (1.0, 1.0, 1.0), p)
     for total in (0, 3, 50, 203, 204, 210, 255, 256, 300, 409, 410, 1000):
         acc = max(1, total // 8)
-        hint = {o: (total, acc, (acc // 3, acc // 3, acc // 3))
+        hint = {o: (total, acc, (acc // 3, acc // 3, acc // 3),
+                    (total // 3, total // 3, total // 3))
                 for o in range(plan.num_octaves)}
         for cap, ospec, dslots in _hint_cfg(plan, hint, p):
-            assert ospec <= 256 or ospec % 256 == 0, (total, ospec)
+            for os_li in (ospec if isinstance(ospec, tuple) else (ospec,)):
+                assert os_li <= 256 or os_li % 256 == 0, (total, os_li)
             for ds in (dslots if isinstance(dslots, tuple) else (dslots,)):
-                assert ds % 8 == 0 or ds % 4 == 0
+                assert ds % 8 == 0
 
 
 def test_fused_program_runs_with_non_pow2_kp_per_level(blob_volume):

@@ -19,7 +19,8 @@ from device_time import device_time
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    from bench import make_bench_volume
+    dense = "--dense" in sys.argv
+    from bench import make_bench_volume, make_dense_volume
     import sift3d_tpu as s3d
     from sift3d_tpu.descriptor import extract_descriptors as _extract_level
     from sift3d_tpu.detect import compact_flat, detect_extrema_octave
@@ -28,7 +29,8 @@ def main():
     from sift3d_tpu.pyramid import build_gpyr, make_plan, scale_to_unit
     from sift3d_tpu.volume import Volume
 
-    vol = Volume.from_array(make_bench_volume(n))
+    vol = Volume.from_array(
+        make_dense_volume(n) if dense else make_bench_volume(n))
     jax.device_get(jnp.sum(vol.data))
 
     det = s3d.SIFT3D()
@@ -54,6 +56,27 @@ def main():
                 scales = np.asarray(
                     [plan.scales[o][1 + li] for li in range(nl)],
                     np.float32)
+                if isinstance(ospec, tuple):   # dense octave: per level
+                    for li in range(nl):
+                        sd_li = float(scales[li])
+                        level = gpyr[o][1 + li]
+                        sel = cand.valid & (cand.level == li)
+                        idx, lvalid, _ = compact_flat(sel, ospec[li])
+                        co = cand.coords[idx]
+                        ori = assign_orientations(
+                            level, co, lvalid, sd_li, units, params,
+                            chunk=(256 if ospec[li] % 256 == 0
+                                   else ospec[li]))
+                        acc += jnp.sum(ori.R) + jnp.sum(ori.accepted)
+                        if not with_desc:
+                            continue
+                        idxd, dvalid, _ = compact_flat(ori.accepted,
+                                                       dslots[li])
+                        res = _extract_level(level, co[idxd], ori.R[idxd],
+                                             dvalid, sd_li, o, units,
+                                             params)
+                        acc += jnp.sum(res.desc)
+                    continue
                 lv = gpyr[o][1:1 + nl]
                 level_s = cand.level[:ospec]
                 ori = assign_orientations(
@@ -64,8 +87,6 @@ def main():
                 acc += jnp.sum(ori.R) + jnp.sum(ori.accepted)
                 if not with_desc:
                     continue
-                if isinstance(dslots, tuple):  # dense hint: approximate
-                    dslots = sum(dslots)       # with one mixed extraction
                 idx, dvalid, acc_count = compact_flat(ori.accepted, dslots)
                 co = cand.coords[:ospec][idx]
                 lvk = level_s[idx]
