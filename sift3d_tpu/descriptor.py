@@ -285,7 +285,15 @@ def _prep_window(level, coord, center, R, sd,
 
     grot = jnp.stack([fp(a) for a in grot3])    # [3, Mp]
     vbins = jnp.stack([fp(a) for a in vbins3])  # [3, Mp]
-    return grot, vbins
+    # Per-voxel-tile any-valid flags: the kernel skips the per-voxel math
+    # for tiles that are entirely masked out (bounding-cube corners outside
+    # the sphere, window margin of small-sd keypoints in mixed-level
+    # windows, padding slots). Masked voxels contribute exactly zero either
+    # way, so this changes speed only.
+    from .ops.desc_kernel import FLAG_TILE
+    flags = jnp.any(
+        fp(mask).reshape(-1, FLAG_TILE), axis=1).astype(jnp.int32)
+    return grot, vbins, flags
 
 
 def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
@@ -305,12 +313,12 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
 
     def chunk_fn(args):
         c_coords, c_centers, c_R, c_sd, c_lvl = args
-        grot, vbins = jax.vmap(
+        grot, vbins, flags = jax.vmap(
             lambda co, ce, Rk, sdk, lv: _prep_window(
                 level, co, ce, Rk, sdk, units, extents, tile, params,
                 lvl=(lv if lvl_arg else None)))(
             c_coords, c_centers, c_R, c_sd, c_lvl)
-        return desc_hist_pallas(grot, vbins, interpret=interpret,
+        return desc_hist_pallas(grot, vbins, flags, interpret=interpret,
                                 precision=params.desc_precision)
 
     args = (coords, centers, R, sd_arr, level_index)

@@ -38,7 +38,15 @@ from ..params import ICOS_NVERT, NHIST_PER_DIM
 NB = NHIST_PER_DIM
 
 
-def _kernel(grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref, out_ref, acc):
+# Voxel-tile granularity of the prep stage's any-valid flags (and the
+# kernels' grid tile). Prep pads windows to a multiple of 8192, so this
+# always divides N.
+FLAG_TILE = 2048
+
+
+def _kernel(flags_ref, grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref, out_ref,
+            acc):
+    k = pl.program_id(0)
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
 
@@ -46,11 +54,13 @@ def _kernel(grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref, out_ref, acc):
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    ZY, P = _face_hist(grot_ref[0], vbins_ref[0], mt_ref[:], kc_ref[:],
-                       eb_ref[:])
-    acc[:] += jax.lax.dot_general(
-        ZY, P, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    @pl.when(flags_ref[k, c] > 0)
+    def _():
+        ZY, P = _face_hist(grot_ref[0], vbins_ref[0], mt_ref[:], kc_ref[:],
+                           eb_ref[:])
+        acc[:] += jax.lax.dot_general(
+            ZY, P, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(c == n_c - 1)
     def _():
@@ -130,37 +140,72 @@ def _face_hist(g, vb, mt, kc, eb):
 _G = 8  # keypoints packed per grid step in the batched kernel
 
 
-def _kernel_packed(grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref, out_ref,
-                   acc, zy_s, p_s, *, mxu_prec=None):
+def _kernel_packed(words_ref, grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref,
+                   out_ref, acc, zy_s, p_s, dirty, *, mxu_prec=None):
     """8 keypoints per grid step; their [16,T]x[T,48] histogram
     contractions fuse into ONE [128,T]x[T,384] MXU pass (only the 8
     diagonal [16,48] blocks of the result are used; the packing still wins
     because the MXU tile is 128 wide — 8 separate [16,T]x[T,48] dots would
     each burn a full tile pass over T).
 
+    words_ref (scalar-prefetched i32[K/G, C]) bit-packs, per keypoint pack
+    and voxel tile, whether each of the G keypoints has ANY unmasked voxel
+    in the tile (bit j = keypoint j of the pack). Masked voxels contribute
+    exactly zero (prep zeroes their gradients), so empty tiles — the
+    bounding-cube corners outside the keypoint's sphere, the window margin
+    of small-scale keypoints in mixed-level windows, and entire padding
+    slots — can skip the per-voxel VPU math, which is the kernel's
+    bottleneck. A skipped keypoint's ZY scratch block is zeroed instead
+    (its diagonal product block is then zero; the off-diagonal blocks of
+    the packed contraction are never read), tracked by the `dirty` SMEM
+    scratch so a run of empty tiles zeroes it only once. When all G
+    keypoints skip a tile, the MXU contraction is skipped too.
+
     mxu_prec controls only this contraction (Precision.DEFAULT = one bf16
     MXU pass with f32 accumulation, the historical behavior;
     Precision.HIGHEST = 6-pass f32, ~1.6x slower kernel, <= 3e-4 rel-L2
     apart — tools/desc_bf16.py). All per-voxel math — face selection in
     particular, whose eps comparisons decide bin assignment — stays f32."""
+    k = pl.program_id(0)
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
 
     @pl.when(c == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
+        # p_s must not hold uninitialized memory for keypoints whose first
+        # tiles are skipped: the contraction multiplies it by the zeroed ZY
+        # block, and 0 x NaN/inf garbage would poison the accumulator.
+        p_s[:] = jnp.zeros_like(p_s)
+        for j in range(_G):
+            dirty[j] = 1
 
-    mt = mt_ref[:]
-    kc = kc_ref[:]
-    eb = eb_ref[:]
-    for j in range(_G):
-        ZY, P = _face_hist(grot_ref[j], vbins_ref[j], mt, kc, eb)
-        zy_s[j * NB * NB:(j + 1) * NB * NB, :] = ZY
-        p_s[j * NB * ICOS_NVERT:(j + 1) * NB * ICOS_NVERT, :] = P
+    word = words_ref[k, c]
 
-    acc[:] += jax.lax.dot_general(
-        zy_s[:], p_s[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=mxu_prec)
+    @pl.when(word > 0)
+    def _():
+        mt = mt_ref[:]
+        kc = kc_ref[:]
+        eb = eb_ref[:]
+        for j in range(_G):
+            f = (word >> j) & 1
+
+            @pl.when(f > 0)
+            def _(j=j):
+                ZY, P = _face_hist(grot_ref[j], vbins_ref[j], mt, kc, eb)
+                zy_s[j * NB * NB:(j + 1) * NB * NB, :] = ZY
+                p_s[j * NB * ICOS_NVERT:(j + 1) * NB * ICOS_NVERT, :] = P
+                dirty[j] = 1
+
+            @pl.when((f == 0) & (dirty[j] == 1))
+            def _(j=j):
+                zy_s[j * NB * NB:(j + 1) * NB * NB, :] = jnp.zeros(
+                    (NB * NB, zy_s.shape[1]), jnp.float32)
+                dirty[j] = 0
+
+        acc[:] += jax.lax.dot_general(
+            zy_s[:], p_s[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=mxu_prec)
 
     @pl.when(c == n_c - 1)
     def _():
@@ -171,28 +216,37 @@ def _kernel_packed(grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "precision"))
-def desc_hist_pallas(grot, vbins, interpret: bool = False,
+def desc_hist_pallas(grot, vbins, flags=None, interpret: bool = False,
                      tile: int | None = None, precision: str = "highest"):
     """Histograms [K, 16, 48] from grot/vbins [K, 3, N] (N % 512 == 0).
+
+    flags: optional i32[K, N // FLAG_TILE] per-voxel-tile any-valid marks
+    from the prep stage (see _prep_window); empty tiles skip the per-voxel
+    VPU math. None processes every tile (same results — masked voxels
+    contribute exactly zero either way).
 
     precision: "default" = one bf16 MXU pass with f32 accumulation for the
     histogram contraction (historical behavior); "highest" = 6-pass f32
     (DetectorParams.desc_precision)."""
     K, _, N = grot.shape
+    if flags is None:
+        flags = jnp.ones((K, N // FLAG_TILE), jnp.int32)
     if K % _G == 0:
-        return _desc_hist_packed(grot, vbins, interpret, tile, precision)
-    return _desc_hist_single(grot, vbins, interpret)
+        return _desc_hist_packed(grot, vbins, flags, interpret, tile,
+                                 precision)
+    return _desc_hist_single(grot, vbins, flags, interpret)
 
 
-def _desc_hist_packed(grot, vbins, interpret: bool = False,
+def _desc_hist_packed(grot, vbins, flags, interpret: bool = False,
                       tile: int | None = None,
                       precision: str = "highest"):
     K, _, N = grot.shape
     # 8192 exceeds the 16 MB scoped-VMEM limit in f32 (p_s scratch
     # [384, TILE]); the kernel is MXU-bound on the contraction, and larger
     # tiles measured no faster (tools/desc_micro.py).
-    ladder = (tile,) if tile else (2048, 512, 128)
-    TILE = next(t for t in ladder if N % t == 0)
+    TILE = tile or FLAG_TILE
+    assert N % TILE == 0 and flags.shape == (K, N // TILE), (
+        grot.shape, flags.shape, TILE)
     mxu_prec = (jax.lax.Precision.DEFAULT if precision == "default"
                 else jax.lax.Precision.HIGHEST)
     kernel = functools.partial(_kernel_packed, mxu_prec=mxu_prec)
@@ -202,44 +256,55 @@ def _desc_hist_packed(grot, vbins, interpret: bool = False,
     eb = jnp.asarray(np.concatenate(
         [geometry.E_BARY[:, j, :].T for j in range(3)]))    # [36, 20]
 
+    # Bit-pack the per-keypoint tile flags of each G-pack into one int32
+    # per (pack, tile); the word rides in as a scalar-prefetch argument
+    # (SMEM), the only memory the scalar core can branch on.
+    words = jnp.sum(
+        flags.reshape(K // _G, _G, -1)
+        << jnp.arange(_G, dtype=jnp.int32)[None, :, None],
+        axis=1, dtype=jnp.int32)
+
     grid = (K // _G, N // TILE)
     M_zy, M_p = _G * NB * NB, _G * NB * ICOS_NVERT
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_G, 3, TILE), lambda k, c: (k, 0, c),
+            pl.BlockSpec((_G, 3, TILE), lambda k, c, w: (k, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_G, 3, TILE), lambda k, c: (k, 0, c),
+            pl.BlockSpec((_G, 3, TILE), lambda k, c, w: (k, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((60, 3), lambda k, c: (0, 0),
+            pl.BlockSpec((60, 3), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 1), lambda k, c: (0, 0),
+            pl.BlockSpec((20, 1), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((36, 20), lambda k, c: (0, 0),
+            pl.BlockSpec((36, 20), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_G, NB * NB, NB * ICOS_NVERT),
-                               lambda k, c: (k, 0, 0),
+                               lambda k, c, w: (k, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, NB * NB, NB * ICOS_NVERT),
-                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((M_zy, M_p), jnp.float32),
             pltpu.VMEM((M_zy, TILE), jnp.float32),
             pltpu.VMEM((M_p, TILE), jnp.float32),
+            pltpu.SMEM((_G,), jnp.int32),
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, NB * NB, NB * ICOS_NVERT),
+                                       jnp.float32),
         interpret=interpret,
-    )(grot, vbins, mt, kc, eb)
+    )(words, grot, vbins, mt, kc, eb)
 
 
-def _desc_hist_single(grot, vbins, interpret: bool = False):
+def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
     K, _, N = grot.shape
-    # Large tiles amortize the per-grid-step fixed cost (measured dominant
-    # at TILE=2048: ~54 steps/keypoint cost ~140 us/kp; the VPU work itself
-    # is ~10 us). VMEM per step stays modest ([60, TILE] f32 is the largest
-    # intermediate).
-    TILE = next(t for t in (8192, 4096, 2048, 512, 128) if N % t == 0)
+    TILE = FLAG_TILE
+    assert N % TILE == 0 and flags.shape == (K, N // TILE), (
+        grot.shape, flags.shape, TILE)
 
     mt = jnp.asarray(geometry.MT_MATRIX.T)                  # [60, 3]
     kc = jnp.asarray(geometry.K_CONST[:, None])             # [20, 1]
@@ -247,26 +312,31 @@ def _desc_hist_single(grot, vbins, interpret: bool = False):
         [geometry.E_BARY[:, j, :].T for j in range(3)]))    # [36, 20]
 
     grid = (K, N // TILE)
-    return pl.pallas_call(
-        _kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3, TILE), lambda k, c: (k, 0, c),
+            pl.BlockSpec((1, 3, TILE), lambda k, c, f: (k, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TILE), lambda k, c: (k, 0, c),
+            pl.BlockSpec((1, 3, TILE), lambda k, c, f: (k, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((60, 3), lambda k, c: (0, 0),
+            pl.BlockSpec((60, 3), lambda k, c, f: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 1), lambda k, c: (0, 0),
+            pl.BlockSpec((20, 1), lambda k, c, f: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((36, 20), lambda k, c: (0, 0),
+            pl.BlockSpec((36, 20), lambda k, c, f: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, NB * NB, NB * ICOS_NVERT),
-                               lambda k, c: (k, 0, 0),
+                               lambda k, c, f: (k, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NB * NB, NB * ICOS_NVERT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, NB * NB, NB * ICOS_NVERT),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((NB * NB, NB * ICOS_NVERT), jnp.float32)],
         interpret=interpret,
-    )(grot, vbins, mt, kc, eb)
+    )(flags, grot, vbins, mt, kc, eb)

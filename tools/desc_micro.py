@@ -66,10 +66,10 @@ def main():
         Mp = -(-M // tile) * tile
 
         def prep_only(level_, coords_, centers_, R_, sd_):
-            g, vb = jax.vmap(lambda co, ce, Rk, sdk: _prep_window(
+            g, vb, fl = jax.vmap(lambda co, ce, Rk, sdk: _prep_window(
                 level_, co, ce, Rk, sdk, units, extents, tile, params))(
                 coords_, centers_, R_, sd_)
-            return jnp.sum(g) + jnp.sum(vb)
+            return jnp.sum(g) + jnp.sum(vb) + jnp.sum(fl)
         timed(f"prep only, all {K} kp at once (tile {tile})",
               jax.jit(prep_only), level, coords, centers, R, sd_arr,
               per=K)
