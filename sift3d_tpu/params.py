@@ -79,6 +79,17 @@ class DetectorParams:
     # "highest" forces the 6-pass f32 MXU mode (~1.6x slower kernel,
     # <= 3e-4 rel-L2 from "default", measured in tools/desc_bf16.py).
     desc_precision: str = "default"
+    # Matmul precision of the gpyr "tail" levels — stacked level 0 and
+    # levels above the keypoint levels (for the default layout: 0, 4, 5).
+    # Their values feed ONLY the DoG strict neighbor comparisons of the
+    # extrema stencil (sift.c:797-810): they are never read by orientation
+    # or descriptor windows (levels 1..num_kp_levels), never the searched
+    # DoG level whose max sets the relative threshold (sift.c:821-829),
+    # and never the next octave's downsample source (level L-3). "high"
+    # (bf16x3, ~1e-6 rel error) keeps the 256^3 keypoint set identical to
+    # "highest" (even conv_precision="high" for ALL levels did); bf16x3 on
+    # these three levels halves their MXU passes, ~25% of the gpyr cost.
+    conv_tail_precision: str = "high"
 
     def __post_init__(self):
         # Mirror the reference setters' range checks (sift.c:499-565).
@@ -113,6 +124,10 @@ class DetectorParams:
             raise ValueError(
                 f"desc_precision must be 'highest' or 'default', "
                 f"got {self.desc_precision!r}")
+        if self.conv_tail_precision not in ("highest", "high", "default"):
+            raise ValueError(
+                f"conv_tail_precision must be 'highest', 'high' or "
+                f"'default', got {self.conv_tail_precision!r}")
 
     # --- derived pyramid structure (resize_SIFT3D, sift.c:434-435) ---
 

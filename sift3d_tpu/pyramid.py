@@ -115,12 +115,25 @@ def make_plan(input_dims: Sequence[int], units: Sequence[float],
 # ---------------------------------------------------------------------------
 
 
+_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+_PREC_RANK = {"default": 0, "high": 1, "highest": 2}
+
+
 def _precision(params: DetectorParams):
-    return {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
-        "default": jax.lax.Precision.DEFAULT,
-    }[params.conv_precision]
+    return _PREC[params.conv_precision]
+
+
+def _tail_precision(params: DetectorParams):
+    """Precision for the gpyr tail levels (0 and > num_kp_levels): the
+    weaker of conv_precision and conv_tail_precision (the tail knob never
+    raises precision above the main one)."""
+    name = min(params.conv_precision, params.conv_tail_precision,
+               key=_PREC_RANK.__getitem__)
+    return _PREC[name]
 
 
 def blur(vol: jnp.ndarray, Ws: Sequence[np.ndarray],
@@ -236,15 +249,31 @@ def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
     """
     params = plan.params
     prec = _precision(params)
+    tail_prec = _tail_precision(params)
     L = plan.num_gpyr_levels
+    nl = params.num_kp_levels
+    # Level groups by precision: stacked level 0 and levels above the
+    # keypoint levels feed only DoG neighbor comparisons (see
+    # DetectorParams.conv_tail_precision); levels 1..nl feed orientation /
+    # descriptor windows and the next octave's source (L-3) and stay at
+    # conv_precision. Contiguous slices keep the einsums batched.
+    hi_end = min(nl + 1, L)
+    groups = [(0, 1, tail_prec), (1, hi_end, prec), (hi_end, L, tail_prec)]
+    groups = [(a, b, p) for a, b, p in groups if b > a]
+    if tail_prec == prec:
+        groups = [(0, L, prec)]
     octaves = []
     for o in range(plan.num_octaves):
         src = vol if o == 0 else octaves[o - 1][L - 3]
         Px, Py, Pz = (jnp.asarray(P) for P in _composed_matrices(plan, o))
-        lv = jnp.einsum("lab,byz->layz", Px, src, precision=prec)
-        lv = jnp.einsum("lab,lxbz->lxaz", Py, lv, precision=prec)
-        lv = jnp.einsum("lab,lxyb->lxya", Pz, lv, precision=prec)
-        octaves.append(lv)
+        parts = []
+        for a, b, p in groups:
+            lv = jnp.einsum("lab,byz->layz", Px[a:b], src, precision=p)
+            lv = jnp.einsum("lab,lxbz->lxaz", Py[a:b], lv, precision=p)
+            lv = jnp.einsum("lab,lxyb->lxya", Pz[a:b], lv, precision=p)
+            parts.append(lv)
+        octaves.append(parts[0] if len(parts) == 1
+                       else jnp.concatenate(parts, axis=0))
     return octaves
 
 
