@@ -179,7 +179,8 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
                         centers: jnp.ndarray | None = None,
                         sd_max: float | None = None,
                         level_index: jnp.ndarray | None = None,
-                        fractional_centers: bool | None = None
+                        fractional_centers: bool | None = None,
+                        use_pallas: bool | None = None
                         ) -> OrientationResult:
     """Batched orientation assignment for all keypoints of one pyramid level.
 
@@ -209,7 +210,18 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
     sd_arr = (jnp.full((K,), jnp.float32(sd)) if np.isscalar(sd)
               else jnp.asarray(sd, jnp.float32))
 
-    if level_index is None:
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and K % 8 == 0:
+        from .ops.ori_kernel import ori_moments_pallas
+        levels = level[None] if level_index is None else level
+        lvl = (jnp.zeros((K,), jnp.int32) if level_index is None
+               else level_index)
+        fp = jnp.concatenate(
+            [centers.astype(jnp.float32), sd_arr[:, None]], axis=-1)
+        A, vd_win = ori_moments_pallas(levels, lvl, coords, fp, extents,
+                                       tuple(units), params)
+    elif level_index is None:
         A, vd_win = chunked_vmap(
             lambda args: _window_moments(level, args[0], args[1], args[2],
                                          units, extents, params),

@@ -308,7 +308,7 @@ def _hint_fit(plan: PyramidPlan, cfg: tuple, counts, octs_host) -> bool:
 
 
 @functools.lru_cache(maxsize=64)
-def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
+def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batched: bool = False):
     """The fully-fused hinted detection program: pyramid + DoG + extrema +
     candidate compaction + mixed-level orientation + speculative descriptor
     extraction for every octave in ONE jitted computation.
@@ -322,6 +322,10 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
 
     params = plan.params
     nl = params.num_kp_levels
+    # The orientation Pallas kernel hand-DMAs windows from an ANY-space
+    # ref, which has no vmap batching rule — the vmapped (batched) variant
+    # of this program must use the XLA moments path.
+    ori_pallas = False if batched else None
 
     @jax.jit
     def run(data):
@@ -375,7 +379,8 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
                     co = cand.coords[idx]
                     ori = assign_orientations(
                         level, co, lvalid, sd_li, units, params,
-                        chunk=(256 if os_li % 256 == 0 else os_li))
+                        chunk=(256 if os_li % 256 == 0 else os_li),
+                        use_pallas=ori_pallas)
                     idxd, dvalid, acc_l = compact_flat(ori.accepted, ds_li)
                     cod = co[idxd]
                     res = _extract_level(level, cod, ori.R[idxd], dvalid,
@@ -400,7 +405,8 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple):
                     jnp.asarray(scales)[level_s], units, params,
                     sd_max=sd_max, level_index=level_s,
                     fractional_centers=False,
-                    chunk=(256 if ospec % 256 == 0 else ospec))
+                    chunk=(256 if ospec % 256 == 0 else ospec),
+                    use_pallas=ori_pallas)
                 onehot = (level_s[None, :]
                           == jnp.arange(nl, dtype=jnp.int32)[:, None])
                 funnel = jnp.einsum(
@@ -721,7 +727,7 @@ class SIFT3D:
         (caller falls back to the exact per-volume path)."""
         B = vols.shape[0]
         cfg = _hint_cfg(plan, hint, self.params)
-        run = _detect_full_fn(plan, cfg)
+        run = _detect_full_fn(plan, cfg, batched=True)
         nvox = int(np.prod(vols.shape[1:]))
         sub = min(B, max(1, int(_BATCH_HBM_BUDGET // (nvox * 4 * 14))))
         while B % sub:  # one compiled sub-batch shape
