@@ -66,12 +66,14 @@ def _kernel(idx_ref, fp_ref, lv_ref, out_ref, win_s, sems, *, G,
             extents, units, n_dims, nz_pad, ori_sig_fctr, ori_rad_fctr):
     """One grid step: G keypoints' windows DMA'd from HBM, moments out.
 
-    idx_ref: scalar-prefetch i32[K, 3] = (level, x0, y0) per keypoint.
-    fp_ref:  scalar-prefetch f32[K, 4] = (cx, cy, cz, sd) per keypoint.
+    idx_ref: scalar-prefetch i32[3, K] = (level, x0, y0) per keypoint.
+    fp_ref:  scalar-prefetch f32[4, K] = (cx, cy, cz, sd) per keypoint.
     lv_ref:  the stacked [L, nx, ny, nz] pyramid levels, resident in HBM.
-    out_ref: SMEM f32[K, 16] = (A row-major 9, vd 3, pad) — the whole
-             output (blocks of G rows would need G % 8 == 0; whole-array
-             SMEM blocks are exempt and K*64 bytes is tiny).
+    out_ref: SMEM f32[16, K] = (A row-major 9, vd 3, pad) — the whole
+             output, keypoints in the MINOR dim: SMEM arrays lane-pad the
+             last dim to 128, so [K, 16] would cost K*128*4 bytes (512 kB
+             at K=1024, over the SMEM budget with the two prefetch
+             operands shaped the same way) while [16, K] costs 16*K*4.
     win_s:   VMEM f32[G, Ex, Ey, nz] window scratch.
     sems:    DMA semaphores, one per keypoint slot.
     """
@@ -89,9 +91,9 @@ def _kernel(idx_ref, fp_ref, lv_ref, out_ref, win_s, sems, *, G,
     for j in range(G):
         base = k * G + j
         dma = pltpu.make_async_copy(
-            lv_ref.at[idx_ref[base, 0],
-                      pl.ds(idx_ref[base, 1], Ex),
-                      pl.ds(idx_ref[base, 2] * 8, Ey)],
+            lv_ref.at[idx_ref[0, base],
+                      pl.ds(idx_ref[1, base], Ex),
+                      pl.ds(idx_ref[2, base] * 8, Ey)],
             win_s.at[j], sems.at[j])
         dma.start()
         dmas.append(dma)
@@ -107,10 +109,10 @@ def _kernel(idx_ref, fp_ref, lv_ref, out_ref, win_s, sems, *, G,
         dmas[j].wait()
         base = k * G + j
         win = win_s[j]
-        cx = fp_ref[base, 0]
-        cy = fp_ref[base, 1]
-        cz = fp_ref[base, 2]
-        sd = fp_ref[base, 3]
+        cx = fp_ref[0, base]
+        cy = fp_ref[1, base]
+        cz = fp_ref[2, base]
+        sd = fp_ref[3, base]
         sigma = jnp.float32(ori_sig_fctr) * sd
         rad = sigma * jnp.float32(ori_rad_fctr)
 
@@ -118,8 +120,8 @@ def _kernel(idx_ref, fp_ref, lv_ref, out_ref, win_s, sems, *, G,
         gy = 0.5 * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) * inv_u[1]
         gz = 0.5 * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) * inv_u[2]
 
-        X = idx_ref[base, 1] + 1 + iox
-        Y = idx_ref[base, 2] * 8 + 1 + ioy
+        X = idx_ref[1, base] + 1 + iox
+        Y = idx_ref[2, base] * 8 + 1 + ioy
         Z = 1 + ioz
 
         mask = None
@@ -140,20 +142,20 @@ def _kernel(idx_ref, fp_ref, lv_ref, out_ref, win_s, sems, *, G,
         a01 = jnp.sum(wgx * gy)
         a02 = jnp.sum(wgx * gz)
         a12 = jnp.sum(wgy * gz)
-        out_ref[base, 0] = jnp.sum(wgx * gx)
-        out_ref[base, 1] = a01
-        out_ref[base, 2] = a02
-        out_ref[base, 3] = a01
-        out_ref[base, 4] = jnp.sum(wgy * gy)
-        out_ref[base, 5] = a12
-        out_ref[base, 6] = a02
-        out_ref[base, 7] = a12
-        out_ref[base, 8] = jnp.sum(wgz * gz)
-        out_ref[base, 9] = jnp.sum(wgx)
-        out_ref[base, 10] = jnp.sum(wgy)
-        out_ref[base, 11] = jnp.sum(wgz)
+        out_ref[0, base] = jnp.sum(wgx * gx)
+        out_ref[1, base] = a01
+        out_ref[2, base] = a02
+        out_ref[3, base] = a01
+        out_ref[4, base] = jnp.sum(wgy * gy)
+        out_ref[5, base] = a12
+        out_ref[6, base] = a02
+        out_ref[7, base] = a12
+        out_ref[8, base] = jnp.sum(wgz * gz)
+        out_ref[9, base] = jnp.sum(wgx)
+        out_ref[10, base] = jnp.sum(wgy)
+        out_ref[11, base] = jnp.sum(wgz)
         for t in (12, 13, 14, 15):
-            out_ref[base, t] = 0.0
+            out_ref[t, base] = 0.0
 
 
 @functools.partial(
@@ -188,10 +190,13 @@ def ori_moments_pallas(levels, lvl, coords, fp, extents, units, params,
 
     # gather_window's clip rule per axis; y ships as an 8-row BLOCK index
     # (the kernel multiplies by 8 so Mosaic can prove tile alignment).
+    # Keypoints ride the MINOR dim of both prefetch arrays and the output
+    # (SMEM lane-pads the last dim to 128; see _kernel docstring).
     x0 = jnp.clip(coords[:, 0] - (extents[0] - 1) // 2, 0, nx - Ex)
     y0 = jnp.clip(coords[:, 1] - (extents[1] - 1) // 2, 0, ny_pad - Eyp)
-    idx = jnp.stack([lvl, x0, y0 // 8], axis=-1).astype(jnp.int32)
+    idx = jnp.stack([lvl, x0, y0 // 8], axis=0).astype(jnp.int32)
 
+    fp = fp.T                       # [4, K] for the SMEM layout
     G = pack_size(Ex, Eyp, nz_pad)
     assert K % G == 0, (K, G)
     Ey = Eyp
@@ -206,7 +211,7 @@ def ori_moments_pallas(levels, lvl, coords, fp, extents, units, params,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # levels stay off-chip
         ],
-        out_specs=pl.BlockSpec((K, _OUT_W), lambda k, i, f: (0, 0),
+        out_specs=pl.BlockSpec((_OUT_W, K), lambda k, i, f: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((G, Ex, Ey, nz_pad), jnp.float32),
@@ -216,9 +221,9 @@ def ori_moments_pallas(levels, lvl, coords, fp, extents, units, params,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((K, _OUT_W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((_OUT_W, K), jnp.float32),
         interpret=interpret,
     )(idx, fp, levels)
-    A = out[:, :9].reshape(K, 3, 3)
-    vd = out[:, 9:12]
+    A = out[:9].T.reshape(K, 3, 3)
+    vd = out[9:12].T
     return A, vd

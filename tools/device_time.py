@@ -19,7 +19,9 @@ def _looped(fn, k):
     def run(x):
         def body(i, carry):
             x_, acc = carry
-            out = fn(x_ + acc * jnp.float32(1e-30))
+            eps = acc * jnp.float32(1e-30)
+            perturbed = jax.tree.map(lambda a: a + eps.astype(a.dtype), x_)
+            out = fn(perturbed)
             return (x_, acc + jnp.sum(out) * jnp.float32(1e-30)
                     + jnp.float32(1.0))
         _, acc = jax.lax.fori_loop(0, k, body, (x, jnp.float32(0.0)))
@@ -30,7 +32,10 @@ def _looped(fn, k):
 def device_time(fn, x, k1=2, k2=12, repeats=3):
     """Seconds of device time per application of fn(x).
 
-    fn must map an array to an array (or scalar) whose sum is cheap.
+    fn must map an array (or pytree of arrays — pass ALL large operands
+    through x: closed-over device arrays are baked into the program as
+    constants, which the tunneled remote-compile endpoint rejects above
+    ~100 MB) to an array or scalar whose sum is cheap.
     """
     r1, r2 = _looped(fn, k1), _looped(fn, k2)
     jax.device_get(r1(x))
