@@ -99,3 +99,30 @@ def conv_matrix(n: int, taps: np.ndarray, unit_factor: float) -> np.ndarray:
     unit_factor. Cached per (n, taps, unit_factor)."""
     return _conv_matrix_cached(n, tuple(np.asarray(taps, np.float32).tolist()),
                                float(unit_factor))
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_diagonals_cached(n: int, taps: tuple, unit_factor: float):
+    W = _conv_matrix_cached(n, taps, unit_factor)
+    rows, cols = np.nonzero(W)
+    if rows.size == 0:
+        return np.zeros((n, 1), np.float32), 0
+    d = cols.astype(np.int64) - rows.astype(np.int64)
+    lo, hi = int(d.min()), int(d.max())
+    Wd = np.zeros((n, hi - lo + 1), np.float32)
+    Wd[rows, cols - rows - lo] = W[rows, cols]
+    return Wd, lo
+
+
+def conv_diagonals(n: int, taps: np.ndarray,
+                   unit_factor: float) -> tuple[np.ndarray, int]:
+    """Diagonal (banded) storage of conv_matrix: ``(Wd, lo)`` such that
+    ``out[i] = sum_k Wd[i, k] * signal[i + lo + k]`` (out-of-range reads
+    carry zero weight) reproduces the same pass as ``conv_matrix(...) @
+    signal``. The band is narrow for incremental taps — the mirror fold
+    keeps each row's support within the tap half-width of its diagonal —
+    so the pass runs as a handful of shifted fused multiply-adds on the
+    VPU instead of a dense MXU matmul (apply_Sep_FIR_filter,
+    imutil.c:1127-1188 applies taps the same way, voxel-shifted reads)."""
+    return _conv_diagonals_cached(
+        n, tuple(np.asarray(taps, np.float32).tolist()), float(unit_factor))

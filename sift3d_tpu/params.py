@@ -90,6 +90,18 @@ class DetectorParams:
     # "highest" (even conv_precision="high" for ALL levels did); bf16x3 on
     # these three levels halves their MXU passes, ~25% of the gpyr cost.
     conv_tail_precision: str = "high"
+    # Gaussian pyramid implementation: "composed" = per-octave composed
+    # operators as batched MXU matmuls (one matmul chain per octave);
+    # "incremental" = the reference's sequential per-level chain with each
+    # pass in band-sparse diagonal form on the VPU (always f32-exact; the
+    # precision knobs above do not apply to it; ~6x slower than composed
+    # at 256^3 — XLA materializes the shifted reads — kept as the
+    # semantic reference); "pallas" = the fused 3-axis kernel
+    # (ops/blur_kernel.py, f32-exact, free DoG output) for octaves with
+    # nz >= 128, composed below that (opt-in: the chained program
+    # currently measures slower than composed end-to-end); "auto" =
+    # composed for now.
+    gpyr_impl: str = "auto"
 
     def __post_init__(self):
         # Mirror the reference setters' range checks (sift.c:499-565).
@@ -128,6 +140,11 @@ class DetectorParams:
             raise ValueError(
                 f"conv_tail_precision must be 'highest', 'high' or "
                 f"'default', got {self.conv_tail_precision!r}")
+        if self.gpyr_impl not in ("auto", "composed", "incremental",
+                                  "pallas"):
+            raise ValueError(
+                f"gpyr_impl must be 'auto', 'composed', 'incremental' or "
+                f"'pallas', got {self.gpyr_impl!r}")
 
     # --- derived pyramid structure (resize_SIFT3D, sift.c:434-435) ---
 

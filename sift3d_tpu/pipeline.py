@@ -36,7 +36,8 @@ from .detect import default_capacity
 from .keypoints import Descriptors, Keypoints
 from .orientation import assign_orientations
 from .params import DESC_NUMEL, DetectorParams
-from .pyramid import PyramidPlan, build_gpyr, make_plan, scale_to_unit
+from .pyramid import (PyramidPlan, build_gpyr_and_dog, make_plan,
+                      scale_to_unit)
 from .volume import as_volume
 
 
@@ -63,10 +64,10 @@ def _detect_fn(plan: PyramidPlan):
     @jax.jit
     def run(data):
         x = scale_to_unit(data)
-        gpyr = build_gpyr(x, plan)
+        gpyr, dogs = build_gpyr_and_dog(x, plan)
         out = []
         for o in range(plan.num_octaves):
-            dog_oct = gpyr[o][:-1] - gpyr[o][1:]
+            dog_oct = dogs[o]
             cand = detect_extrema_octave(dog_oct, params, caps[o])
             if extensions:
                 from .refinement import refine_candidates_octave
@@ -351,10 +352,11 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batched: bool = False):
             return jnp.stack([g, r, c, ori.accepted])
 
         x = scale_to_unit(data)
-        gpyr = build_gpyr(x, plan)
+        gpyr, dogs = build_gpyr_and_dog(
+            x, plan, use_pallas=(False if batched else None))
         cands, octs = [], []
         for o, (cap, ospec, dslots) in enumerate(cfg):
-            dog_oct = gpyr[o][:-1] - gpyr[o][1:]
+            dog_oct = dogs[o]
             cand = detect_extrema_octave(dog_oct, params, cap)
             units = plan.level_units(o)
             scales = np.asarray(
@@ -450,10 +452,10 @@ def _detect_batch_fn(plan: PyramidPlan, batch: int):
     def run_batch(data):
         def one(vol):
             x = scale_to_unit(vol)
-            gpyr = build_gpyr(x, plan)
+            gpyr, dogs = build_gpyr_and_dog(x, plan, use_pallas=False)
             out = []
             for o in range(plan.num_octaves):
-                dog_oct = gpyr[o][:-1] - gpyr[o][1:]
+                dog_oct = dogs[o]
                 cand = detect_extrema_octave(dog_oct, params, caps[o])
                 if extensions:
                     from .refinement import refine_candidates_octave

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .filters import conv_matrix, gauss_kernel, incremental_sigma
+from .filters import (conv_diagonals, conv_matrix, gauss_kernel,
+                      incremental_sigma)
 from .params import DetectorParams
 
 
@@ -76,6 +77,15 @@ class PyramidPlan:
         return [
             conv_matrix(dims[a], np.asarray(taps, np.float32),
                         self.unit_factor(octave, a))
+            for a in range(3)
+        ]
+
+    def conv_diags(self, octave: int, taps) -> list[tuple[np.ndarray, int]]:
+        """Per-axis diagonal-form operators for one blur at one octave."""
+        dims = self.octave_dims[octave]
+        return [
+            conv_diagonals(dims[a], np.asarray(taps, np.float32),
+                           self.unit_factor(octave, a))
             for a in range(3)
         ]
 
@@ -153,6 +163,44 @@ def blur(vol: jnp.ndarray, Ws: Sequence[np.ndarray],
     return vol
 
 
+def _diag_pass(vol: jnp.ndarray, Wd: jnp.ndarray, lo: int,
+               axis: int) -> jnp.ndarray:
+    """One axis pass in diagonal form: out[i] = sum_k Wd[i,k] * vol[i+lo+k].
+
+    A handful of shifted fused multiply-adds (band widths 5-14 for the
+    incremental taps) that XLA fuses into one VPU pass over the volume —
+    the band-sparse formulation of the same banded matrix blur() applies
+    densely on the MXU. Always float32 (elementwise math never drops to
+    bf16), so it is both faster and at least as precise as any matmul
+    precision mode. Out-of-range reads land in a zero pad and carry zero
+    weight, exactly as conv_diagonals promises."""
+    n = vol.shape[axis]
+    B = Wd.shape[1]
+    pad = [(0, 0)] * vol.ndim
+    pad[axis] = (max(0, -lo), max(0, lo + B - 1))
+    volp = jnp.pad(vol, pad)
+    bshape = [1] * vol.ndim
+    bshape[axis] = n
+    out = None
+    for k in range(B):
+        sl = [slice(None)] * vol.ndim
+        sl[axis] = slice(k, k + n)
+        term = Wd[:, k].reshape(bshape) * volp[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
+def blur_diag(vol: jnp.ndarray, diags, params: DetectorParams) -> jnp.ndarray:
+    """Separable blur of vol[nx,ny,nz] as three diagonal-form axis passes
+    (same x, y, z order as apply_Sep_FIR_filter, imutil.c:1165-1188).
+
+    diags: per-axis (Wd, lo) from filters.conv_diagonals."""
+    del params  # diagonal passes are always exact float32
+    for axis, (Wd, lo) in enumerate(diags):
+        vol = _diag_pass(vol, jnp.asarray(Wd), lo, axis)
+    return vol
+
+
 def scale_to_unit(vol: jnp.ndarray) -> jnp.ndarray:
     """Scale to [-1, 1] by the max absolute value (im_scale,
     imutil.c:697-713); zero images pass through unchanged."""
@@ -190,6 +238,34 @@ def build_gpyr_sequential(vol: jnp.ndarray,
         for i in range(1, L):
             Ws = plan.conv_matrices(o, plan.level_taps[i])
             levels.append(blur(levels[i - 1], Ws, params))
+        octaves.append(jnp.stack(levels))
+    return octaves
+
+
+def build_gpyr_incremental(vol: jnp.ndarray,
+                           plan: PyramidPlan) -> list[jnp.ndarray]:
+    """Gaussian scale-space pyramid through diagonal-form incremental
+    blurs — the reference's exact program order (build_gpyr,
+    sift.c:662-711) with the band-sparse VPU formulation of each pass.
+
+    Per level this costs one fused elementwise pass over the octave
+    (band widths 5-14) instead of three dense MXU matmuls of the composed
+    operators, which at 256^3 are compute-bound in the f32 multi-pass
+    matmul decomposition. Always float32-exact: conv_precision does not
+    apply to this path."""
+    L = plan.num_gpyr_levels
+    octaves = []
+    for o in range(plan.num_octaves):
+        levels = []
+        if o == 0:
+            first = blur_diag(vol, plan.conv_diags(0, plan.first_taps),
+                              plan.params)
+        else:
+            first = downsample_2x(octaves[o - 1][L - 3])
+        levels.append(first)
+        for i in range(1, L):
+            diags = plan.conv_diags(o, plan.level_taps[i])
+            levels.append(blur_diag(levels[i - 1], diags, plan.params))
         octaves.append(jnp.stack(levels))
     return octaves
 
@@ -245,9 +321,16 @@ def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
     Every level of an octave is computed directly from the previous
     octave's source level through composed per-axis operators (see
     _composed_matrices): three batched MXU matmuls per octave, with the 2x
-    downsample folded into the operators for deeper octaves.
+    downsample folded into the operators for deeper octaves. With
+    params.gpyr_impl == "incremental" the diagonal-form sequential chain
+    is used instead (see build_gpyr_incremental).
     """
     params = plan.params
+    if params.gpyr_impl == "incremental":
+        return build_gpyr_incremental(vol, plan)
+    # "pallas"/"auto" resolve to the composed operators here: the fused
+    # kernel's benefit is its free DoG output, so only build_gpyr_and_dog
+    # routes to it.
     prec = _precision(params)
     tail_prec = _tail_precision(params)
     L = plan.num_gpyr_levels
@@ -265,16 +348,98 @@ def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
     octaves = []
     for o in range(plan.num_octaves):
         src = vol if o == 0 else octaves[o - 1][L - 3]
-        Px, Py, Pz = (jnp.asarray(P) for P in _composed_matrices(plan, o))
-        parts = []
-        for a, b, p in groups:
-            lv = jnp.einsum("lab,byz->layz", Px[a:b], src, precision=p)
-            lv = jnp.einsum("lab,lxbz->lxaz", Py[a:b], lv, precision=p)
-            lv = jnp.einsum("lab,lxyb->lxya", Pz[a:b], lv, precision=p)
-            parts.append(lv)
-        octaves.append(parts[0] if len(parts) == 1
-                       else jnp.concatenate(parts, axis=0))
+        octaves.append(_build_octave_composed(src, plan, o, groups))
     return octaves
+
+
+def _composed_groups(params: DetectorParams):
+    prec = _precision(params)
+    tail_prec = _tail_precision(params)
+    L = params.num_gpyr_levels
+    nl = params.num_kp_levels
+    hi_end = min(nl + 1, L)
+    groups = [(0, 1, tail_prec), (1, hi_end, prec), (hi_end, L, tail_prec)]
+    groups = [(a, b, p) for a, b, p in groups if b > a]
+    if tail_prec == prec:
+        groups = [(0, L, prec)]
+    return groups
+
+
+def _build_octave_composed(src: jnp.ndarray, plan: PyramidPlan, o: int,
+                           groups) -> jnp.ndarray:
+    """One octave's stacked levels from its source through the composed
+    per-axis operators (three batched MXU einsums per precision group)."""
+    Px, Py, Pz = (jnp.asarray(P) for P in _composed_matrices(plan, o))
+    parts = []
+    for a, b, p in groups:
+        lv = jnp.einsum("lab,byz->layz", Px[a:b], src, precision=p)
+        lv = jnp.einsum("lab,lxbz->lxaz", Py[a:b], lv, precision=p)
+        lv = jnp.einsum("lab,lxyb->lxya", Pz[a:b], lv, precision=p)
+        parts.append(lv)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+# The fused Pallas blur kernel rolls along the lane (z) axis; Mosaic's
+# layout inference crashes for lane extents below one full 128-lane tile,
+# so octaves with nz < 128 stay on the composed path (they are ~2% of the
+# pyramid cost at bench scale).
+_PALLAS_MIN_LANES = 128
+
+
+def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
+                       use_pallas: bool | None = None,
+                       interpret: bool = False):
+    """(gpyr octaves, dog octaves) in one build.
+
+    With gpyr_impl "pallas" — or "auto" on a TPU backend — large octaves
+    run through the fused Pallas blur kernel (ops/blur_kernel.py), whose
+    second output IS the DoG level: each level costs one HBM round trip
+    and the separate DoG subtraction pass disappears. Small octaves and
+    every other impl use the composed/incremental builders plus
+    build_dog. Pass use_pallas=False from vmapped (batched) callers —
+    the kernel has no batching rule."""
+    params = plan.params
+    if use_pallas is None:
+        # "auto" currently resolves to composed: the isolated kernel beats
+        # a composed level (1.14 ms blur+dog vs ~1.5) but the CHAINED
+        # program measures 36.8 ms vs 8.7 composed at 256^3 — under
+        # investigation (tools/chain_probe) — so pallas stays opt-in.
+        use_pallas = params.gpyr_impl == "pallas"
+    if not use_pallas or params.gpyr_impl == "incremental":
+        gp = build_gpyr(vol, plan)
+        return gp, build_dog(gp)
+
+    from .ops.blur_kernel import blur3d_pallas
+
+    L = plan.num_gpyr_levels
+    groups = _composed_groups(params)
+    gps, dogs = [], []
+    for o in range(plan.num_octaves):
+        dims = plan.octave_dims[o]
+        src = vol if o == 0 else gps[o - 1][L - 3]
+        if dims[2] < _PALLAS_MIN_LANES:
+            # composed operators fold the downsample themselves
+            oct_ = _build_octave_composed(src, plan, o, groups)
+            gps.append(oct_)
+            dogs.append(oct_[:-1] - oct_[1:])
+            continue
+        levels = []
+        dgs = []
+        if o == 0:
+            first, _ = blur3d_pallas(
+                src, plan.conv_diags(0, plan.first_taps), interpret)
+        else:
+            first = downsample_2x(src)
+        levels.append(first)
+        for i in range(1, L):
+            nxt, dg = blur3d_pallas(
+                levels[-1], plan.conv_diags(o, plan.level_taps[i]),
+                interpret)
+            levels.append(nxt)
+            dgs.append(dg)
+        gps.append(jnp.stack(levels))
+        dogs.append(jnp.stack(dgs))
+    return gps, dogs
 
 
 def build_dog(gpyr: list[jnp.ndarray]) -> list[jnp.ndarray]:

@@ -88,3 +88,38 @@ def test_dog():
     assert d[0].shape[0] == plan.num_dog_levels
     np.testing.assert_allclose(np.asarray(d[0][0]),
                                np.asarray(g[0][0] - g[0][1]), rtol=1e-6)
+
+
+def test_gpyr_incremental_matches_sequential():
+    """The diagonal-form incremental chain (gpyr_impl="incremental") must
+    match the sequential banded-matmul chain to f32 rounding at every
+    octave, including odd dims and anisotropic units (fractional tap
+    spacing at deeper octaves)."""
+    from sift3d_tpu.pyramid import build_gpyr_incremental, build_gpyr_sequential
+
+    rng = np.random.default_rng(7)
+    vol = rng.normal(size=(42, 36, 33)).astype(np.float32)
+    p = DetectorParams()
+    plan = make_plan(vol.shape, (1.0, 1.1, 0.9), p)
+    x = scale_to_unit(jnp.asarray(vol))
+    a = build_gpyr_sequential(x, plan)
+    b = build_gpyr_incremental(x, plan)
+    assert len(a) == len(b)
+    for o, (xa, xb) in enumerate(zip(a, b)):
+        xa, xb = np.asarray(xa), np.asarray(xb)
+        scale = max(np.abs(xa).max(), 1e-30)
+        assert np.abs(xa - xb).max() / scale < 5e-6, o
+
+
+def test_gpyr_impl_param_dispatch():
+    p = DetectorParams(gpyr_impl="incremental")
+    plan = make_plan((16, 16, 16), (1.0, 1.0, 1.0), p)
+    vol = scale_to_unit(jnp.asarray(np.random.default_rng(1).normal(
+        size=(16, 16, 16)).astype(np.float32)))
+    from sift3d_tpu.pyramid import build_gpyr_incremental
+    a = build_gpyr(vol, plan)
+    b = build_gpyr_incremental(vol, plan)
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+    with pytest.raises(ValueError):
+        DetectorParams(gpyr_impl="banded")

@@ -14,6 +14,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _consume(out):
+    """Nonlinear reduction of fn's output pytree. A plain sum would let
+    XLA's algebraic simplifier collapse linear graphs through the
+    consumer — sum(W @ x) folds into (colsum W) @ x, sum(pad(reshape(x)))
+    into sum(x), and a pure elementwise chain can vanish entirely. The
+    square blocks distribution, so the full graph must execute. (Costs
+    one extra read pass over the output, identical across variants.)"""
+    parts = [jnp.sum(jnp.square(a.astype(jnp.float32)))
+             for a in jax.tree.leaves(out)]
+    return sum(parts, jnp.float32(0.0))
+
+
 def _looped(fn, k):
     @jax.jit
     def run(x):
@@ -22,7 +34,7 @@ def _looped(fn, k):
             eps = acc * jnp.float32(1e-30)
             perturbed = jax.tree.map(lambda a: a + eps.astype(a.dtype), x_)
             out = fn(perturbed)
-            return (x_, acc + jnp.sum(out) * jnp.float32(1e-30)
+            return (x_, acc + _consume(out) * jnp.float32(1e-30)
                     + jnp.float32(1.0))
         _, acc = jax.lax.fori_loop(0, k, body, (x, jnp.float32(0.0)))
         return acc
