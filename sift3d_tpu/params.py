@@ -69,9 +69,15 @@ class DetectorParams:
     # Max keypoint candidates retained per pyramid level. None = auto
     # (scales with the level's voxel count). Overflow is reported.
     kp_per_level: Optional[int] = None
-    # Matmul precision for the blur/descriptor contractions:
-    # "highest" = true f32 (parity-grade), "default" = fastest.
-    conv_precision: str = "highest"
+    # Matmul precision of the gpyr blur contractions. "highest" = true
+    # f32 (6-pass bf16) on all three axes; "high_xy" (default) = bf16x3
+    # on the x/y passes with z kept at f32 — measured at 256^3: 100%
+    # keypoint-set parity and 100% of descriptors within 1% rel-L2 of
+    # "highest" (max 4.2e-3; tools/prec_split.py), ~8% faster end to end.
+    # "high" = bf16x3 everywhere (100% keypoint parity but descriptors
+    # only 98.8% within the 1% bar — kept opt-in); "default" = one bf16
+    # pass (FAILS keypoint parity at 256^3; see CLAUDE.md).
+    conv_precision: str = "high_xy"
     # Precision of the descriptor histogram contraction (one MXU pass of
     # the Pallas kernel): "default" = bf16 weight products with f32
     # accumulation — the historical behavior every parity number was
@@ -128,10 +134,11 @@ class DetectorParams:
             raise ValueError(
                 f"edge_thresh must be >= 1 (eigenvalue magnitude ratio), "
                 f"got {self.edge_thresh}")
-        if self.conv_precision not in ("highest", "high", "default"):
+        if self.conv_precision not in ("highest", "high_xy", "high",
+                                       "default"):
             raise ValueError(
-                f"conv_precision must be 'highest', 'high' or 'default', "
-                f"got {self.conv_precision!r}")
+                f"conv_precision must be 'highest', 'high_xy', 'high' or "
+                f"'default', got {self.conv_precision!r}")
         if self.desc_precision not in ("highest", "default"):
             raise ValueError(
                 f"desc_precision must be 'highest' or 'default', "

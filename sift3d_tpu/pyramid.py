@@ -125,25 +125,38 @@ def make_plan(input_dims: Sequence[int], units: Sequence[float],
 # ---------------------------------------------------------------------------
 
 
-_PREC = {
+# "high_xy" is a split mode: bf16x3 (HIGH) on the x/y axis passes, f32
+# (HIGHEST) on z — 100% keypoint-set parity and 100% of descriptors
+# within 1% rel-L2 of all-HIGHEST at 256^3 (tools/prec_split.py), at
+# two-thirds of the all-f32 MXU cost.
+_PREC_XY = {
     "highest": jax.lax.Precision.HIGHEST,
+    "high_xy": jax.lax.Precision.HIGH,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
 }
-_PREC_RANK = {"default": 0, "high": 1, "highest": 2}
+_PREC_Z = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high_xy": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+_PREC_RANK = {"default": 0, "high": 1, "high_xy": 2, "highest": 3}
 
 
 def _precision(params: DetectorParams):
-    return _PREC[params.conv_precision]
+    """(xy, z) einsum precisions for the keypoint-level groups."""
+    name = params.conv_precision
+    return _PREC_XY[name], _PREC_Z[name]
 
 
 def _tail_precision(params: DetectorParams):
-    """Precision for the gpyr tail levels (0 and > num_kp_levels): the
-    weaker of conv_precision and conv_tail_precision (the tail knob never
-    raises precision above the main one)."""
+    """(xy, z) precisions for the gpyr tail levels (0 and above the
+    keypoint levels): the weaker of conv_precision and
+    conv_tail_precision (the tail knob never raises precision)."""
     name = min(params.conv_precision, params.conv_tail_precision,
                key=_PREC_RANK.__getitem__)
-    return _PREC[name]
+    return _PREC_XY[name], _PREC_Z[name]
 
 
 def blur(vol: jnp.ndarray, Ws: Sequence[np.ndarray],
@@ -155,11 +168,11 @@ def blur(vol: jnp.ndarray, Ws: Sequence[np.ndarray],
     (apply_Sep_FIR_filter, imutil.c:1165-1188); matmul accumulation
     reorders the per-tap sums, which is tolerance-level only.
     """
-    prec = _precision(params)
+    pxy, pz = _precision(params)
     Wx, Wy, Wz = (jnp.asarray(W) for W in Ws)
-    vol = jnp.einsum("ab,byz->ayz", Wx, vol, precision=prec)
-    vol = jnp.einsum("ab,xbz->xaz", Wy, vol, precision=prec)
-    vol = jnp.einsum("ab,xyb->xya", Wz, vol, precision=prec)
+    vol = jnp.einsum("ab,byz->ayz", Wx, vol, precision=pxy)
+    vol = jnp.einsum("ab,xbz->xaz", Wy, vol, precision=pxy)
+    vol = jnp.einsum("ab,xyb->xya", Wz, vol, precision=pz)
     return vol
 
 
@@ -331,20 +344,8 @@ def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
     # "pallas"/"auto" resolve to the composed operators here: the fused
     # kernel's benefit is its free DoG output, so only build_gpyr_and_dog
     # routes to it.
-    prec = _precision(params)
-    tail_prec = _tail_precision(params)
+    groups = _composed_groups(params)
     L = plan.num_gpyr_levels
-    nl = params.num_kp_levels
-    # Level groups by precision: stacked level 0 and levels above the
-    # keypoint levels feed only DoG neighbor comparisons (see
-    # DetectorParams.conv_tail_precision); levels 1..nl feed orientation /
-    # descriptor windows and the next octave's source (L-3) and stay at
-    # conv_precision. Contiguous slices keep the einsums batched.
-    hi_end = min(nl + 1, L)
-    groups = [(0, 1, tail_prec), (1, hi_end, prec), (hi_end, L, tail_prec)]
-    groups = [(a, b, p) for a, b, p in groups if b > a]
-    if tail_prec == prec:
-        groups = [(0, L, prec)]
     octaves = []
     for o in range(plan.num_octaves):
         src = vol if o == 0 else octaves[o - 1][L - 3]
@@ -353,6 +354,11 @@ def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
 
 
 def _composed_groups(params: DetectorParams):
+    """Contiguous level ranges by precision: stacked level 0 and levels
+    above the keypoint levels feed only DoG neighbor comparisons (see
+    DetectorParams.conv_tail_precision); levels 1..nl feed orientation /
+    descriptor windows and the next octave's source (L-3) and stay at
+    conv_precision. Each entry is (start, end, (prec_xy, prec_z))."""
     prec = _precision(params)
     tail_prec = _tail_precision(params)
     L = params.num_gpyr_levels
@@ -371,10 +377,10 @@ def _build_octave_composed(src: jnp.ndarray, plan: PyramidPlan, o: int,
     per-axis operators (three batched MXU einsums per precision group)."""
     Px, Py, Pz = (jnp.asarray(P) for P in _composed_matrices(plan, o))
     parts = []
-    for a, b, p in groups:
-        lv = jnp.einsum("lab,byz->layz", Px[a:b], src, precision=p)
-        lv = jnp.einsum("lab,lxbz->lxaz", Py[a:b], lv, precision=p)
-        lv = jnp.einsum("lab,lxyb->lxya", Pz[a:b], lv, precision=p)
+    for a, b, (pxy, pz) in groups:
+        lv = jnp.einsum("lab,byz->layz", Px[a:b], src, precision=pxy)
+        lv = jnp.einsum("lab,lxbz->lxaz", Py[a:b], lv, precision=pxy)
+        lv = jnp.einsum("lab,lxyb->lxya", Pz[a:b], lv, precision=pz)
         parts.append(lv)
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
@@ -414,14 +420,16 @@ def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
     L = plan.num_gpyr_levels
     groups = _composed_groups(params)
     gps, dogs = [], []
+    src = vol            # next octave's source level, kept UNstacked:
+    # slicing a [L, n, n, n] stack re-reads a full level through a copy.
     for o in range(plan.num_octaves):
         dims = plan.octave_dims[o]
-        src = vol if o == 0 else gps[o - 1][L - 3]
         if dims[2] < _PALLAS_MIN_LANES:
             # composed operators fold the downsample themselves
             oct_ = _build_octave_composed(src, plan, o, groups)
             gps.append(oct_)
             dogs.append(oct_[:-1] - oct_[1:])
+            src = oct_[L - 3]
             continue
         levels = []
         dgs = []
@@ -429,7 +437,9 @@ def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
             first, _ = blur3d_pallas(
                 src, plan.conv_diags(0, plan.first_taps), interpret)
         else:
-            first = downsample_2x(src)
+            # stride-2 selection as three exact 0/1 matmuls: the direct
+            # strided slice is a lane-dim gather, far slower on TPU
+            first = downsample_2x_matmul(src)
         levels.append(first)
         for i in range(1, L):
             nxt, dg = blur3d_pallas(
@@ -439,7 +449,29 @@ def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
             dgs.append(dg)
         gps.append(jnp.stack(levels))
         dogs.append(jnp.stack(dgs))
+        src = levels[L - 3]
     return gps, dogs
+
+
+@functools.lru_cache(maxsize=32)
+def _selection_matrix(n: int) -> np.ndarray:
+    S = np.zeros((n // 2, n), np.float32)
+    S[np.arange(n // 2), 2 * np.arange(n // 2)] = 1.0
+    return S
+
+
+def downsample_2x_matmul(vol: jnp.ndarray) -> jnp.ndarray:
+    """Exactly downsample_2x, as three selection matmuls on the MXU.
+
+    A 0/1 selection at Precision.HIGHEST is bit-exact (each output is a
+    single picked element), and the matmul formulation avoids the
+    lane-dim strided gather that makes the direct slice slow on TPU."""
+    hi = jax.lax.Precision.HIGHEST
+    Sx, Sy, Sz = (jnp.asarray(_selection_matrix(vol.shape[a]))
+                  for a in range(3))
+    out = jnp.einsum("ab,byz->ayz", Sx, vol, precision=hi)
+    out = jnp.einsum("ab,xbz->xaz", Sy, out, precision=hi)
+    return jnp.einsum("ab,xyb->xya", Sz, out, precision=hi)
 
 
 def build_dog(gpyr: list[jnp.ndarray]) -> list[jnp.ndarray]:
