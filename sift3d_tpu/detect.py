@@ -121,15 +121,21 @@ def compact_candidates(mask: jnp.ndarray, pcur: jnp.ndarray,
     return LevelCandidates(coords, strength, valid, count)
 
 
-def compact_flat(flat_mask: jnp.ndarray, capacity: int):
+def compact_flat(flat_mask: jnp.ndarray, capacity: int,
+                 bc: jnp.ndarray | None = None):
     """Indices of the first `capacity` set bits of flat_mask, in order.
-    Returns (flat_idx i32[capacity], valid bool[capacity], count i32[])."""
+    Returns (flat_idx i32[capacity], valid bool[capacity], count i32[]).
+
+    bc: optional precomputed per-128-block counts (i32[ceil(m/128)]),
+    letting the caller share the full-mask reduction pass with its own
+    count outputs."""
     C = 128  # block length, one vector lane
     m = flat_mask.shape[0]
     B = -(-m // C)
     pad = B * C - m
     blocks = jnp.pad(flat_mask, (0, pad)).reshape(B, C)
-    bc = jnp.sum(blocks, axis=1, dtype=jnp.int32)      # [B] block counts
+    if bc is None:
+        bc = jnp.sum(blocks, axis=1, dtype=jnp.int32)  # [B] block counts
     boff = jnp.cumsum(bc)                              # [B] inclusive
     count = boff[-1]
 
@@ -159,17 +165,28 @@ class OctaveCandidates(NamedTuple):
 
 
 def detect_extrema_octave(dog_oct: jnp.ndarray, params: DetectorParams,
-                          capacity: int) -> OctaveCandidates:
+                          capacity: int,
+                          use_pallas: bool | None = None
+                          ) -> OctaveCandidates:
     """Extrema for all keypoint levels of one octave in one fused pass.
 
     dog_oct: [num_dog_levels, nx, ny, nz]. Equivalent to running
     detect_extrema_level per level triple; the stacked formulation runs the
     stencil, the per-level max reductions, and one joint compaction instead
-    of 3x the kernels.
+    of 3x the kernels. On TPU the stencil runs as a Pallas kernel over
+    full-dims tiles (the XLA shifted-slice formulation materializes its
+    comparison operands, ~7x the bandwidth floor); pass use_pallas=False
+    from vmapped callers.
     """
     Ld = dog_oct.shape[0]
     nl = Ld - 2                      # keypoint levels
     nx, ny, nz = dog_oct.shape[1:]
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and nz % 128 == 0 and nx % 8 == 0)
+    if use_pallas:
+        return _detect_extrema_octave_pallas(dog_oct, params, capacity)
 
     cur = dog_oct[1:Ld - 1]          # [nl, ...]
     dogmax = jnp.max(jnp.abs(cur), axis=(1, 2, 3))
@@ -225,5 +242,53 @@ def detect_extrema_octave(dog_oct: jnp.ndarray, params: DetectorParams,
         valid, jnp.abs(pcur)[lvl, xx, yy, zz], 0.0).astype(jnp.float32)
     coords = jnp.where(valid[:, None],
                        jnp.stack([xx + 1, yy + 1, zz + 1], axis=-1), 0)
+    lvl = jnp.where(valid, lvl, 0).astype(jnp.int32)
+    return OctaveCandidates(coords, lvl, strength, valid, counts)
+
+
+def _detect_extrema_octave_pallas(dog_oct: jnp.ndarray,
+                                  params: DetectorParams,
+                                  capacity: int,
+                                  interpret: bool = False
+                                  ) -> OctaveCandidates:
+    """Pallas-stencil variant of detect_extrema_octave: identical
+    candidate set and order. The kernel emits a full-dims int8 mask with
+    zeroed boundary, so the flat (l, x, y, z) ravel feeding compact_flat
+    is layout-free (nz % 128 == 0) and coordinates decode with full-dims
+    strides (no interior offset)."""
+    from .ops.extrema_kernel import extrema_mask_pallas
+
+    Ld = dog_oct.shape[0]
+    nx, ny, nz = dog_oct.shape[1:]
+    cur = dog_oct[1:Ld - 1]
+    dogmax = jnp.max(jnp.abs(cur), axis=(1, 2, 3))
+    thr = (jnp.float32(params.peak_thresh) * dogmax).astype(jnp.float32)
+
+    mask = extrema_mask_pallas(dog_oct, thr, cuboid=params.cuboid_extrema,
+                               interpret=interpret)
+    # One full-mask reduction pass: per-128-block counts feed both the
+    # per-level counts and the compaction's block offsets (nz % 128 == 0,
+    # so the raveled blocks never straddle levels).
+    flat = mask.ravel()
+    bc = jnp.sum(flat.reshape(-1, 128), axis=1, dtype=jnp.int32)
+    counts = jnp.sum(bc.reshape(mask.shape[0], -1), axis=1)
+
+    flat_idx, valid, _ = compact_flat(flat != 0, capacity, bc=bc)
+    lvl = flat_idx // (nx * ny * nz)
+    rem = flat_idx - lvl * (nx * ny * nz)
+    xx = rem // (ny * nz)
+    rem = rem - xx * (ny * nz)
+    yy = rem // nz
+    zz = rem - yy * nz
+
+    key = ((lvl * nz + zz) * ny + yy) * nx + xx     # (l, z, y, x) rank
+    big = jnp.int32(2 ** 31 - 1)
+    order = jnp.argsort(jnp.where(valid, key, big))
+    lvl, xx, yy, zz, valid = (a[order] for a in (lvl, xx, yy, zz, valid))
+
+    strength = jnp.where(
+        valid, jnp.abs(cur)[lvl, xx, yy, zz], 0.0).astype(jnp.float32)
+    coords = jnp.where(valid[:, None],
+                       jnp.stack([xx, yy, zz], axis=-1), 0)
     lvl = jnp.where(valid, lvl, 0).astype(jnp.int32)
     return OctaveCandidates(coords, lvl, strength, valid, counts)

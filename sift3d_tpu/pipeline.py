@@ -357,7 +357,9 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batched: bool = False):
         cands, octs = [], []
         for o, (cap, ospec, dslots) in enumerate(cfg):
             dog_oct = dogs[o]
-            cand = detect_extrema_octave(dog_oct, params, cap)
+            cand = detect_extrema_octave(
+                dog_oct, params, cap,
+                use_pallas=(False if batched else None))
             units = plan.level_units(o)
             scales = np.asarray(
                 [plan.scales[o][1 + li] for li in range(nl)], np.float32)
@@ -456,7 +458,8 @@ def _detect_batch_fn(plan: PyramidPlan, batch: int):
             out = []
             for o in range(plan.num_octaves):
                 dog_oct = dogs[o]
-                cand = detect_extrema_octave(dog_oct, params, caps[o])
+                cand = detect_extrema_octave(dog_oct, params, caps[o],
+                                             use_pallas=False)
                 if extensions:
                     from .refinement import refine_candidates_octave
                     ref = refine_candidates_octave(

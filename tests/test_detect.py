@@ -170,3 +170,34 @@ def test_eigh3x3_matches_lapack():
                      gap[:, 1] > 1e-2], axis=1)
     cos = np.abs(np.einsum("bij,bij->bj", V, V_ref))
     assert cos[well].min() > 1 - 1e-5
+
+
+def test_extrema_pallas_matches_xla():
+    """The Pallas stencil path (interpret mode) must produce the exact
+    candidate set, order, strengths and counts of the XLA path, for both
+    the face-neighbor and cuboid stencils."""
+    import numpy as np
+    from sift3d_tpu.detect import (_detect_extrema_octave_pallas,
+                                   detect_extrema_octave)
+    from sift3d_tpu.params import DetectorParams
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(5, 32, 40, 128)).astype(np.float32)
+    for i in range(5):
+        base[i] = gaussian_filter(base[i], 1.5)
+    dog = jnp.asarray(base)
+    for cuboid in (False, True):
+        p = DetectorParams(cuboid_extrema=cuboid)
+        a = detect_extrema_octave(dog, p, 512, use_pallas=False)
+        b = _detect_extrema_octave_pallas(dog, p, 512, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid))
+        np.testing.assert_array_equal(np.asarray(a.coords),
+                                      np.asarray(b.coords))
+        np.testing.assert_array_equal(np.asarray(a.level),
+                                      np.asarray(b.level))
+        np.testing.assert_array_equal(np.asarray(a.strength),
+                                      np.asarray(b.strength))
+        np.testing.assert_array_equal(np.asarray(a.counts),
+                                      np.asarray(b.counts))
