@@ -16,6 +16,15 @@ import sys
 
 import numpy as np
 
+
+def _force_platform(name: str | None) -> None:
+    """Pin the JAX platform before first device use. An exported
+    JAX_PLATFORMS env var overrides os.environ changes made at runtime,
+    so --platform goes through jax.config (which wins)."""
+    if name:
+        import jax
+        jax.config.update("jax_platforms", name)
+
 _HELP = """Detect 3D SIFT keypoints and extract their descriptors.
 
 Supported input formats: NIfTI-1 (.nii, .nii.gz)
@@ -37,12 +46,16 @@ def main(argv=None) -> int:
     parser.add_argument("--num-kp-levels", type=int, default=None)
     parser.add_argument("--sigma-n", type=float, default=None)
     parser.add_argument("--sigma0", type=float, default=None)
+    parser.add_argument("--platform", metavar="NAME",
+                        help="JAX platform to run on (e.g. cpu, tpu); "
+                             "default: the environment's backend")
     parser.add_argument("image", help="input volume (.nii/.nii.gz)")
     args = parser.parse_args(argv)
 
     if args.keys is None and args.desc is None:
         print("No outputs specified.", file=sys.stderr)
         return 1
+    _force_platform(args.platform)
 
     from . import DetectorParams, SIFT3D
     from .io import read_volume
@@ -92,7 +105,11 @@ def register_main(argv=None) -> int:
                         help="RANSAC inlier error threshold (voxels)")
     parser.add_argument("--num-iter", type=int, default=500,
                         help="RANSAC iterations")
+    parser.add_argument("--platform", metavar="NAME",
+                        help="JAX platform to run on (e.g. cpu, tpu); "
+                             "default: the environment's backend")
     args = parser.parse_args(argv)
+    _force_platform(args.platform)
 
     from .io import read_volume, write_volume
     from .registration import register
