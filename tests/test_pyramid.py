@@ -56,6 +56,16 @@ def test_downsample_2x():
     assert d[1, 2, 2] == np.asarray(v)[2, 4, 4]
 
 
+def test_downsample_2x_matmul_bit_exact():
+    """The MXU selection-matmul downsample must be bit-identical to the
+    strided slice (each output element is one picked input element)."""
+    from sift3d_tpu.pyramid import downsample_2x_matmul
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=(64, 32, 128)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(downsample_2x_matmul(v)),
+                                  np.asarray(downsample_2x(v)))
+
+
 def test_gpyr_matches_scipy_interior():
     """Octave-0 levels must match scipy gaussian_filter in the interior
     (the boundary rule differs from scipy's modes by design)."""
