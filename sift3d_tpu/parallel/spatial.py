@@ -209,10 +209,6 @@ class ShardedSIFT3D:
                  mesh: Mesh = None, axis: str = "z",
                  stale_strength_compat: bool = True):
         from .mesh import make_mesh
-        if params.refine_subvoxel or params.edge_thresh is not None:
-            raise NotImplementedError(
-                "subvoxel refinement / edge rejection are not yet supported "
-                "in the sharded detector; use SIFT3D")
         self.params = params
         self.mesh = mesh if mesh is not None else make_mesh({"z": len(
             jax.devices())})
@@ -221,6 +217,7 @@ class ShardedSIFT3D:
         self._plan = None
         self._gpyr = None
         self._input_shape = None
+        self._ext_proxy = None
 
     def detect_keypoints(self, vol):
         import warnings
@@ -231,6 +228,9 @@ class ShardedSIFT3D:
         from ..volume import as_volume
 
         vol = as_volume(vol)
+        if self.params.refine_subvoxel or self.params.edge_thresh is not None:
+            return self._detect_gspmd(vol)
+        self._ext_proxy = None
         plan = make_plan(vol.shape, vol.units, self.params)
         run, keys, caps = _sharded_detect_fn(plan, self.mesh, self.axis)
         data = jax.device_put(
@@ -320,8 +320,31 @@ class ShardedSIFT3D:
                          level=level[idx], sd=sd[idx], strength=strength_out,
                          R=R[idx])
 
+    def _detect_gspmd(self, vol):
+        """Extension configs (subvoxel refinement / Hessian edge rejection):
+        run the exact single-device algorithm on the z-sharded input under
+        GSPMD — XLA propagates the sharding through the pyramid matmuls,
+        the extrema stencil, and the refinement's neighborhood gathers,
+        inserting the required collectives. The hand-sharded halo/compaction
+        fast path above covers the default (reference-parity) config; this
+        path trades some of that tuning for the full extension semantics
+        (pipeline.py::_detect_fn with refine_candidates_octave)."""
+        from ..pipeline import SIFT3D
+        from ..volume import Volume
+
+        data = jax.device_put(
+            vol.data, NamedSharding(self.mesh, P(None, None, self.axis)))
+        proxy = SIFT3D(self.params, self.stale_strength_compat)
+        kp = proxy.detect_keypoints(Volume(data, vol.units))
+        self._plan, self._gpyr = proxy._plan, proxy._gpyr
+        self._input_shape = vol.shape
+        self._ext_proxy = proxy
+        return kp
+
     def extract_descriptors(self, kp):
         from ..pipeline import SIFT3D
+        if self._ext_proxy is not None:
+            return self._ext_proxy.extract_descriptors(kp)
         proxy = SIFT3D(self.params, self.stale_strength_compat)
         proxy._plan, proxy._gpyr = self._plan, self._gpyr
         proxy._input_shape = self._input_shape

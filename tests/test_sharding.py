@@ -116,3 +116,36 @@ def test_sharded_octave_fallback():
     assert max_blur_halo(plan, 1) < max_blur_halo(plan, 0)
     # the last octave (8 voxels, halo 2) cannot be sharded over 8 devices
     assert not octave_is_sharded(plan, plan.num_octaves - 1, 8)
+
+
+def test_sharded_detector_extensions_match_single_device():
+    """Extension configs (subvoxel refinement + edge rejection) run the
+    exact single-device algorithm under GSPMD on the z-sharded input; the
+    keypoints and descriptors must match the unsharded detector exactly."""
+    import sift3d_tpu as s3d
+    from sift3d_tpu.parallel import make_mesh
+    from sift3d_tpu.parallel.spatial import ShardedSIFT3D
+    from sift3d_tpu.params import DetectorParams
+
+    params = DetectorParams(refine_subvoxel=True, edge_thresh=10.0)
+    vol = make_phantom(64)
+    det1 = s3d.SIFT3D(params)
+    kp1 = det1.detect_keypoints(vol)
+    assert len(kp1) > 0
+
+    mesh = make_mesh({"z": 4}, jax.devices()[:4])
+    det2 = ShardedSIFT3D(params, mesh=mesh)
+    kp2 = det2.detect_keypoints(vol)
+
+    # The z-sharded pyramid matmuls accumulate in a different order, so
+    # refined (fractional) coordinates drift at float precision — well
+    # below any meaningful fraction of a voxel.
+    assert len(kp1) == len(kp2)
+    np.testing.assert_allclose(kp1.coords, kp2.coords, atol=1e-3)
+    assert np.array_equal(kp1.octave, kp2.octave)
+    np.testing.assert_allclose(kp1.strength, kp2.strength, atol=1e-5)
+    np.testing.assert_allclose(kp1.R, kp2.R, atol=1e-3)
+
+    ref = det1.extract_descriptors(kp1)
+    got = det2.extract_descriptors(kp2)
+    assert np.abs(ref.data - got.data).max() < 1e-4
