@@ -182,11 +182,20 @@ def detect_extrema_octave(dog_oct: jnp.ndarray, params: DetectorParams,
     nl = Ld - 2                      # keypoint levels
     nx, ny, nz = dog_oct.shape[1:]
 
+    interpret = False
+    shape_ok = nz % 128 == 0 and nx % 8 == 0
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and nz % 128 == 0 and nx % 8 == 0)
+        impl = params.extrema_impl
+        if impl == "auto":
+            use_pallas = jax.default_backend() == "tpu" and shape_ok
+        elif impl == "xla":
+            use_pallas = False
+        else:                        # "pallas" / "interpret"
+            use_pallas = shape_ok
+            interpret = impl == "interpret"
     if use_pallas:
-        return _detect_extrema_octave_pallas(dog_oct, params, capacity)
+        return _detect_extrema_octave_pallas(dog_oct, params, capacity,
+                                             interpret=interpret)
 
     cur = dog_oct[1:Ld - 1]          # [nl, ...]
     dogmax = jnp.max(jnp.abs(cur), axis=(1, 2, 3))

@@ -108,6 +108,14 @@ class DetectorParams:
     # currently measures slower than composed end-to-end); "auto" =
     # composed for now.
     gpyr_impl: str = "auto"
+    # Extrema stencil implementation: "auto" = the Pallas mask kernel
+    # (ops/extrema_kernel.py) on TPU for octaves with nz % 128 == 0 and
+    # nx % 8 == 0, the XLA shifted-slice stencil otherwise; "xla" forces
+    # the XLA path; "pallas" forces the kernel wherever shapes allow;
+    # "interpret" runs the kernel in Pallas interpret mode (CPU testing).
+    # Both paths produce the exact same candidate set, order, strengths
+    # and counts (tests/test_detect.py).
+    extrema_impl: str = "auto"
 
     def __post_init__(self):
         # Mirror the reference setters' range checks (sift.c:499-565).
@@ -147,6 +155,10 @@ class DetectorParams:
             raise ValueError(
                 f"conv_tail_precision must be 'highest', 'high' or "
                 f"'default', got {self.conv_tail_precision!r}")
+        if self.extrema_impl not in ("auto", "xla", "pallas", "interpret"):
+            raise ValueError(
+                f"extrema_impl must be 'auto', 'xla', 'pallas' or "
+                f"'interpret', got {self.extrema_impl!r}")
         if self.gpyr_impl not in ("auto", "composed", "incremental",
                                   "pallas"):
             raise ValueError(

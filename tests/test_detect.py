@@ -201,3 +201,37 @@ def test_extrema_pallas_matches_xla():
                                       np.asarray(b.strength))
         np.testing.assert_array_equal(np.asarray(a.counts),
                                       np.asarray(b.counts))
+
+
+def test_extrema_pallas_fused_pipeline_integration():
+    """Full detection (incl. the fused hinted second pass) through the
+    Pallas extrema kernel in interpret mode must match the XLA stencil
+    end-to-end: same keypoints, strengths, orientations, descriptors.
+    Volume shaped so octave 0 passes the kernel's nz % 128 gate."""
+    import numpy as np
+    import sift3d_tpu as s3d
+    from sift3d_tpu.params import DetectorParams
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(11)
+    vol = gaussian_filter(
+        rng.normal(size=(32, 40, 128)).astype(np.float32), 2.0)
+
+    kps, descs = [], []
+    for impl in ("xla", "interpret"):
+        det = s3d.SIFT3D(DetectorParams(extrema_impl=impl))
+        kp = det.detect_keypoints(vol)      # exact path
+        kp2 = det.detect_keypoints(vol)     # fused hinted path
+        assert len(kp) == len(kp2)
+        np.testing.assert_array_equal(kp.coords, kp2.coords)
+        kps.append(kp2)
+        descs.append(det.extract_descriptors(kp2))
+
+    a, b = kps
+    assert len(a) == len(b) and len(a) > 0
+    np.testing.assert_array_equal(a.coords, b.coords)
+    np.testing.assert_array_equal(a.octave, b.octave)
+    np.testing.assert_array_equal(a.level, b.level)
+    np.testing.assert_allclose(a.strength, b.strength, rtol=0, atol=0)
+    np.testing.assert_allclose(a.R, b.R, atol=1e-6)
+    np.testing.assert_allclose(descs[0].data, descs[1].data, atol=2e-5)
