@@ -20,10 +20,12 @@ import pytest
 
 def pytest_configure(config):
     # Persistent compilation cache: XLA CPU compiles of the full pipeline are
-    # slow; cache them across test runs.
+    # slow; cache them across test runs. The suite gets its OWN cache dir:
+    # sharing .jax_cache with concurrently-running TPU tools once produced a
+    # torn cache read that segfaulted the whole run mid-suite.
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), "..",
-                                   ".jax_cache"))
+                                   ".jax_cache_tests"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

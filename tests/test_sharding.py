@@ -12,6 +12,25 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """jaxlib's persistent-cache serialize/deserialize of the 8-device
+    GSPMD CPU executables in this module segfaults intermittently (the
+    cpu_aot_loader machine-feature path); skip the on-disk cache for these
+    tests — in-memory jit caching still applies within the run.
+
+    config.update alone is NOT enough: compilation_cache holds a global
+    initialized on first use, so it must be reset to pick up the change
+    (and reset again on teardown to re-enable the suite's cache dir)."""
+    from jax._src import compilation_cache as cc
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    cc.reset_cache()
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+    cc.reset_cache()
+
+
 def test_sharded_blur_matches_single_device():
     from sift3d_tpu.filters import conv_matrix, gauss_kernel
     from sift3d_tpu.parallel import make_mesh, sharded_blur_z
@@ -121,7 +140,29 @@ def test_sharded_octave_fallback():
 def test_sharded_detector_extensions_match_single_device():
     """Extension configs (subvoxel refinement + edge rejection) run the
     exact single-device algorithm under GSPMD on the z-sharded input; the
-    keypoints and descriptors must match the unsharded detector exactly."""
+    keypoints and descriptors must match the unsharded detector exactly.
+
+    Runs in a fresh subprocess: XLA:CPU intermittently segfaults
+    compiling/(de)serializing THIS test's GSPMD programs late in a
+    long-lived suite process (observed at compile, serialize, AND
+    deserialize across runs), while a fresh process passes every time.
+    """
+    import os
+    import subprocess
+    import sys
+    if os.environ.get("_S3D_SHARDING_ISOLATED") != "1":
+        env = dict(os.environ)
+        env["_S3D_SHARDING_ISOLATED"] = "1"
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-x", "-q",
+             f"{os.path.abspath(__file__)}"
+             "::test_sharded_detector_extensions_match_single_device"],
+            env=env, capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, (
+            f"isolated run failed rc={r.returncode}\n{r.stdout}\n{r.stderr}")
+        return
+
     import sift3d_tpu as s3d
     from sift3d_tpu.parallel import make_mesh
     from sift3d_tpu.parallel.spatial import ShardedSIFT3D
