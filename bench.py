@@ -96,7 +96,10 @@ def bench_tpu(vol: np.ndarray, repeats: int):
         desc = det.extract_descriptors(kp)
         return kp, desc
 
-    # Warmup (compiles)
+    # Warmup (compiles): the first detection learns the hint capacities;
+    # the second compiles the fused hinted program those capacities shape.
+    # Both must happen before timing starts.
+    run(vol_dev)
     kp, desc = run(vol_dev)
     times = []
     for _ in range(repeats):
@@ -115,9 +118,18 @@ def bench_tpu(vol: np.ndarray, repeats: int):
     return min(times), len(kp), len(desc)
 
 
-def bench_oracle(vol: np.ndarray):
+def bench_oracle(vol: np.ndarray, tag: str = ""):
     """Wall time of the C reference on the same workload (detect + extract
-    on all keypoints), or None if unavailable."""
+    on all keypoints), or None if unavailable. The measurement is cached on
+    disk (keyed by workload tag + volume shape): the C run costs minutes at
+    256^3 and its wall time is stable across runs on this host, so repeat
+    bench invocations should not re-pay it."""
+    cache = REPO / ".bench_cache" / f"oracle_ms_{tag}{vol.shape[0]}.json"
+    if cache.exists():
+        try:
+            return json.loads(cache.read_text())["ms"]
+        except (OSError, ValueError, KeyError):
+            pass
     sys.path.insert(0, str(REPO / "tests"))
     try:
         from oracle import build_oracle, run_oracle
@@ -129,13 +141,22 @@ def bench_oracle(vol: np.ndarray):
     with tempfile.TemporaryDirectory() as td:
         t0 = time.perf_counter()
         run_oracle(vol, Path(td) / "bench")
-        return (time.perf_counter() - t0) * 1e3
+        ms = (time.perf_counter() - t0) * 1e3
+    try:
+        cache.parent.mkdir(exist_ok=True)
+        cache.write_text(json.dumps({"ms": ms}))
+    except OSError:
+        pass
+    return ms
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--repeats", type=int, default=3)
+    # The tunneled device's RTT varies +-50% between runs; the metric is a
+    # latency floor, so take min over enough repeats to see through the
+    # network noise (each repeat costs ~0.1 s).
+    ap.add_argument("--repeats", type=int, default=7)
     ap.add_argument("--dense", action="store_true",
                     help="dense phantom (~1000 keypoints at 256^3)")
     ap.add_argument("--skip-oracle", action="store_true")
@@ -160,7 +181,7 @@ def main(argv=None) -> int:
     ref_ms = None
     if not args.skip_oracle:
         try:
-            ref_ms = bench_oracle(vol)
+            ref_ms = bench_oracle(vol, tag="dense_" if args.dense else "")
         except Exception as e:  # oracle failures must not sink the bench
             print(f"# oracle bench failed: {e}", file=sys.stderr)
     if ref_ms is not None:

@@ -38,4 +38,7 @@ def write_volume(path, vol) -> None:
         write_nifti(path, np.asarray(vol))
 
 
-__all__ = ["read_volume", "write_volume", "read_nifti", "write_nifti"]
+from .loader import BatchVolumeLoader, group_by_shape, iter_volume_batches
+
+__all__ = ["read_volume", "write_volume", "read_nifti", "write_nifti",
+           "BatchVolumeLoader", "group_by_shape", "iter_volume_batches"]

@@ -1,0 +1,181 @@
+"""Prefetching batch volume loader.
+
+The reference is a one-shot CLI (read one NIfTI, detect, write CSV —
+cli/kpSift3D.c:42-167); a production TPU deployment instead streams many
+volumes through `SIFT3D.detect_keypoints_batch`, where the accelerator
+must never wait on host IO. This loader overlaps the two:
+
+ - a background thread assembles batches ahead of the consumer (bounded
+   queue, `prefetch` deep);
+ - each batch is read by the native C++ threaded reader
+   (`native.nifti_read_batch`: header parse + gunzip + typed cast +
+   x-fastest -> C-order transpose, fanned out over std::threads, one
+   GIL-free ctypes call per batch);
+ - volumes the native path does not cover (.hdr/.img pairs, big-endian
+   files) fall back per-volume to the pure-Python reader, so any mix of
+   inputs works.
+
+Batches require uniform volume shape (one compiled detection program per
+shape — the batched pipeline's contract). Mixed-shape datasets should be
+grouped by shape by the caller; `group_by_shape` does it from headers
+alone (348 bytes per file, no payload read).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from .. import native
+from .nifti import read_nifti, _open_maybe_gz, _resolve_pair, _HDR_SIZE
+import struct
+
+
+def peek_header(path):
+    """(shape tuple, nc, units) of a NIfTI file from its 348-byte header
+    (no payload read)."""
+    hdr_path, _ = _resolve_pair(path)
+    with _open_maybe_gz(hdr_path) as f:
+        hdr = f.read(_HDR_SIZE)
+    if len(hdr) < _HDR_SIZE:
+        raise ValueError(f"{path}: truncated NIfTI header")
+    endian = "<"
+    if struct.unpack_from("<i", hdr, 0)[0] != _HDR_SIZE:
+        if struct.unpack_from(">i", hdr, 0)[0] != _HDR_SIZE:
+            raise ValueError(f"{path}: not a NIfTI-1 file")
+        endian = ">"
+    dim = struct.unpack_from(endian + "8h", hdr, 40)
+    pixdim = struct.unpack_from(endian + "8f", hdr, 76)
+    ndim = dim[0]
+    nc = dim[4] if ndim == 4 else 1
+    units = tuple(float(u) for u in pixdim[1:4])
+    if not all(u > 0 for u in units):
+        units = (1.0, 1.0, 1.0)
+    return (dim[1], dim[2], dim[3]), int(nc), units
+
+
+def group_by_shape(paths):
+    """Group paths by (shape, nc) from headers alone. Returns
+    {(shape, nc): [paths]} preserving order within groups."""
+    groups: dict = {}
+    for p in paths:
+        shape, nc, _ = peek_header(p)
+        groups.setdefault((shape, nc), []).append(p)
+    return groups
+
+
+def _read_batch(paths, shape, nthreads):
+    """One batch as (vols f32[B, nx, ny, nz], units f32[B, 3]); native
+    threaded reader first, per-volume Python fallback for the rest."""
+    n = len(paths)
+    count = int(np.prod(shape))
+    vols = None
+    units = np.ones((n, 3), np.float32)
+    todo = range(n)
+    res = native.nifti_read_batch(paths, count, nthreads)
+    if res is not None:
+        flat, dims, u, rc = res
+        vols = flat.reshape((n,) + tuple(shape))
+        units = u
+        todo = [i for i in range(n) if rc[i] != 0]
+        for i in range(n):
+            if rc[i] == 0 and tuple(dims[i, :3]) != tuple(shape):
+                raise ValueError(
+                    f"{paths[i]}: shape {tuple(dims[i, :3])} != batch "
+                    f"shape {tuple(shape)}")
+    else:
+        vols = np.empty((n,) + tuple(shape), np.float32)
+    for i in todo:
+        data, u = read_nifti(paths[i])
+        if data.ndim == 4:
+            if data.shape[-1] != 1:
+                raise ValueError(
+                    f"{paths[i]}: only single-channel volumes are "
+                    "supported by the detector")
+            data = data[..., 0]
+        if data.shape != tuple(shape):
+            raise ValueError(f"{paths[i]}: shape {data.shape} != batch "
+                             f"shape {tuple(shape)}")
+        vols[i] = data
+        units[i] = u
+    return vols, units
+
+
+class BatchVolumeLoader:
+    """Iterates (vols f32[B, nx, ny, nz], units (ux, uy, uz)) batches with
+    background prefetch.
+
+    paths: NIfTI files of ONE shape (see group_by_shape); batch_size: B of
+    the full batches (the final batch may be smaller); prefetch: how many
+    batches the background thread keeps ready; nthreads: native reader
+    threads per batch (0 = one per volume, capped at CPU count).
+
+    All volumes of a batch must agree on voxel units (the detection
+    program is compiled per units); a mismatch raises at iteration time.
+    """
+
+    def __init__(self, paths, batch_size: int = 8, prefetch: int = 2,
+                 nthreads: int = 0):
+        self.paths = [str(p) for p in paths]
+        if not self.paths:
+            raise ValueError("no input paths")
+        self.batch_size = int(batch_size)
+        if self.batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        self.prefetch = max(1, int(prefetch))
+        self.nthreads = int(nthreads)
+        self.shape, nc, _ = peek_header(self.paths[0])
+        if nc != 1:
+            raise ValueError("only single-channel volumes are supported")
+
+    def __len__(self):
+        return -(-len(self.paths) // self.batch_size)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for i in range(0, len(self.paths), self.batch_size):
+                    if stop.is_set():
+                        return
+                    chunk = self.paths[i:i + self.batch_size]
+                    q.put(("ok", _read_batch(chunk, self.shape,
+                                             self.nthreads)))
+                q.put(("done", None))
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(("err", e))
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "done":
+                    return
+                if kind == "err":
+                    raise payload
+                vols, units = payload
+                if not np.allclose(units, units[0:1], rtol=1e-5):
+                    raise ValueError(
+                        "mixed voxel units within a batch: "
+                        f"{np.unique(units, axis=0)}")
+                yield vols, tuple(float(x) for x in units[0])
+        finally:
+            stop.set()
+            # drain so the producer is never blocked on put() forever
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)
+
+
+def iter_volume_batches(paths, batch_size: int = 8, prefetch: int = 2,
+                        nthreads: int = 0):
+    """Convenience generator over BatchVolumeLoader."""
+    return iter(BatchVolumeLoader(paths, batch_size, prefetch, nthreads))

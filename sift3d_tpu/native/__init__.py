@@ -42,9 +42,12 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _SO.exists():
+        stale = (_SO.exists() and _SRC.exists()
+                 and _SRC.stat().st_mtime > _SO.stat().st_mtime)
+        if not _SO.exists() or stale:
             if not _SRC.exists() or not _build():
-                return None
+                if not _SO.exists():
+                    return None
         try:
             lib = ctypes.CDLL(str(_SO))
         except OSError:
@@ -60,6 +63,16 @@ def get_lib():
         lib.s3d_csv_write.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_longlong,
             ctypes.c_longlong, ctypes.c_int]
+        if hasattr(lib, "s3d_nifti_read_f32"):
+            lib.s3d_nifti_read_f32.restype = ctypes.c_int
+            lib.s3d_nifti_read_f32.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_longlong,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.s3d_nifti_read_batch.restype = None
+            lib.s3d_nifti_read_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -110,3 +123,33 @@ def csv_write(path, mat: np.ndarray) -> bool:
         str(path).encode(), mat.ctypes.data_as(ctypes.c_void_p), rows, cols,
         1 if str(path).endswith(".gz") else 0)
     return rc == 0
+
+
+def nifti_read_batch(paths, count_per_vol: int, nthreads: int = 0):
+    """Read a batch of single-file NIfTI-1 volumes (.nii/.nii.gz) into one
+    [B, count_per_vol] float32 buffer with the native threaded reader —
+    one GIL-free ctypes call for the whole batch.
+
+    Returns (flat f32[B, count], dims i64[B, 4], units f32[B, 3],
+    rc i32[B]) or None when the native library is unavailable. rc[i] != 0
+    marks volumes the native path does not handle (.hdr/.img pairs,
+    big-endian files, read errors); callers fall back to the Python
+    reader for those.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "s3d_nifti_read_batch"):
+        return None
+    n = len(paths)
+    out = np.empty((n, count_per_vol), np.float32)
+    dims = np.zeros((n, 4), np.int64)
+    units = np.zeros((n, 3), np.float32)
+    rc = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    if nthreads <= 0:
+        nthreads = min(n, os.cpu_count() or 1)
+    lib.s3d_nifti_read_batch(
+        arr, n, out.ctypes.data_as(ctypes.c_void_p), count_per_vol,
+        dims.ctypes.data_as(ctypes.c_void_p),
+        units.ctypes.data_as(ctypes.c_void_p),
+        rc.ctypes.data_as(ctypes.c_void_p), nthreads)
+    return out, dims, units, rc

@@ -47,8 +47,20 @@ def main():
                     levels[-1], plan.conv_diags(0, plan.level_taps[min(i, 5)]))
                 levels.append(nxt)
                 dogs.append(dg)
-            out = (jnp.stack(levels), jnp.stack(dogs)) if stack \
-                else tuple(levels) + tuple(dogs)
+            if stack == "set":
+                # functional in-place stacking: XLA should lower the
+                # dynamic-update-slices in place (no full-pyramid copy)
+                gbuf = jnp.zeros((k + 1,) + v.shape, v.dtype)
+                dbuf = jnp.zeros((k,) + v.shape, v.dtype)
+                for i, lv in enumerate(levels):
+                    gbuf = gbuf.at[i].set(lv)
+                for i, dg in enumerate(dogs):
+                    dbuf = dbuf.at[i].set(dg)
+                out = (gbuf, dbuf)
+            elif stack:
+                out = (jnp.stack(levels), jnp.stack(dogs))
+            else:
+                out = tuple(levels) + tuple(dogs)
             if ds is not None:
                 return out + (ds(levels[-1]),)
             return out
@@ -60,6 +72,11 @@ def main():
               f"({t*1e3/k:.2f}/level)", flush=True)
     t = device_time(jax.jit(chain(5, stack=True)), (vol,), k1=1, k2=5)
     print(f"chain 5 + stack:       {t*1e3:8.2f} ms", flush=True)
+    t = device_time(jax.jit(chain(5, stack="set")), (vol,), k1=1, k2=5)
+    print(f"chain 5 + set-stack:   {t*1e3:8.2f} ms", flush=True)
+    t = device_time(jax.jit(chain(5, stack="set", ds=downsample_2x_matmul)),
+                    (vol,), k1=1, k2=5)
+    print(f"  + matmul downsample: {t*1e3:8.2f} ms", flush=True)
     t = device_time(jax.jit(chain(5, stack=True, ds=downsample_2x)),
                     (vol,), k1=1, k2=5)
     print(f"  + slice downsample:  {t*1e3:8.2f} ms", flush=True)
