@@ -118,7 +118,7 @@ class BatchVolumeLoader:
     """
 
     def __init__(self, paths, batch_size: int = 8, prefetch: int = 2,
-                 nthreads: int = 0):
+                 nthreads: int = 0, device_put: bool = False):
         self.paths = [str(p) for p in paths]
         if not self.paths:
             raise ValueError("no input paths")
@@ -127,6 +127,11 @@ class BatchVolumeLoader:
             raise ValueError("batch_size must be >= 1")
         self.prefetch = max(1, int(prefetch))
         self.nthreads = int(nthreads)
+        # device_put=True uploads each batch from the producer thread
+        # (jax.device_put is async and thread-safe), so the host->device
+        # transfer of batch i+1 overlaps the device compute of batch i —
+        # the detector's own device_put then sees resident arrays.
+        self.device_put = bool(device_put)
         self.shape, nc, _ = peek_header(self.paths[0])
         if nc != 1:
             raise ValueError("only single-channel volumes are supported")
@@ -144,8 +149,12 @@ class BatchVolumeLoader:
                     if stop.is_set():
                         return
                     chunk = self.paths[i:i + self.batch_size]
-                    q.put(("ok", _read_batch(chunk, self.shape,
-                                             self.nthreads)))
+                    vols, units = _read_batch(chunk, self.shape,
+                                              self.nthreads)
+                    if self.device_put:
+                        import jax
+                        vols = jax.device_put(vols)
+                    q.put(("ok", (vols, units)))
                 q.put(("done", None))
             except BaseException as e:  # surfaced on the consumer side
                 q.put(("err", e))
@@ -176,6 +185,7 @@ class BatchVolumeLoader:
 
 
 def iter_volume_batches(paths, batch_size: int = 8, prefetch: int = 2,
-                        nthreads: int = 0):
+                        nthreads: int = 0, device_put: bool = False):
     """Convenience generator over BatchVolumeLoader."""
-    return iter(BatchVolumeLoader(paths, batch_size, prefetch, nthreads))
+    return iter(BatchVolumeLoader(paths, batch_size, prefetch, nthreads,
+                                  device_put))

@@ -170,3 +170,15 @@ def test_native_rejects_big_endian(tmp_path):
     assert res is not None and res[3][0] != 0
     batches = list(iter_volume_batches([p], batch_size=1))
     np.testing.assert_array_equal(batches[0][0][0], data)
+
+
+def test_loader_device_put(tmp_path):
+    """device_put=True yields device-resident arrays from the producer
+    thread with identical contents."""
+    import jax
+    paths, datas = _write_set(tmp_path, 3)
+    batches = list(iter_volume_batches(paths, batch_size=2,
+                                       device_put=True))
+    assert all(isinstance(b[0], jax.Array) for b in batches)
+    got = np.concatenate([np.asarray(b[0]) for b in batches])
+    np.testing.assert_allclose(got, np.stack(datas), rtol=1e-6)

@@ -68,21 +68,26 @@ def main():
     timed_loader("loader, native threaded reader:", True)
     timed_loader("loader, native threaded reader (warm):", True)
 
-    # end-to-end streaming detection (loader prefetch overlaps device)
+    # end-to-end streaming detection; device_put=True moves the
+    # host->device upload into the producer thread so batch i+1's
+    # transfer overlaps batch i's detection
     det = s3d.SIFT3D()
     for vols, units in iter_volume_batches(paths, batch):
         det.detect_keypoints_batch(vols, units)   # warm the program
-    t0 = time.perf_counter()
-    total = 0
-    nkp = 0
-    for vols, units in iter_volume_batches(paths, batch):
-        kps = det.detect_keypoints_batch(vols, units)
-        total += vols.shape[0]
-        nkp += sum(len(k) for k in kps)
-    dt = time.perf_counter() - t0
-    print(f"{'loader -> detect_keypoints_batch:':<40}{total / dt:8.1f} "
-          f"vol/s ({dt / total * 1e3:.1f} ms/vol, {nkp} keypoints)",
-          flush=True)
+    for dp in (False, True):
+        t0 = time.perf_counter()
+        total = 0
+        nkp = 0
+        for vols, units in iter_volume_batches(paths, batch,
+                                               device_put=dp):
+            kps = det.detect_keypoints_batch(vols, units)
+            total += vols.shape[0]
+            nkp += sum(len(k) for k in kps)
+        dt = time.perf_counter() - t0
+        tag = "device_put overlap" if dp else "host arrays"
+        print(f"{'loader -> detect batch (' + tag + '):':<46}"
+              f"{total / dt:6.1f} vol/s ({dt / total * 1e3:.1f} ms/vol, "
+              f"{nkp} keypoints)", flush=True)
 
 
 if __name__ == "__main__":
