@@ -46,6 +46,57 @@ def test_kernel_matches_xla_path():
     assert err.max() < 1e-5, err.max()
 
 
+def test_face_geometry_dot_precision():
+    """The face-selection dot (mt @ g) must never run as a plain MXU
+    DEFAULT depth-3 dot: its outputs feed the bary_eps hit tests and every
+    barycentric weight, and a single bf16 pass put ~4e-3 relative noise on
+    them — measured as a 0.4% median descriptor error floor vs the C
+    oracle at 256^3 (>1% on edge-clipped windows), invisible in CPU tests.
+    The kernel computes dets exactly on the VPU (they feed the eps hit
+    tests, sign, and the bary denominator — discontinuous consumers) and
+    the bary numerators as a single depth-9 pass over pre-split bf16x3
+    operands ([hi | hi | lo] @ [g_hi; g_lo; g_hi]); guard the jaxpr so
+    this cannot silently regress to a naive depth-3 DEFAULT dot."""
+    from jax.lax import Precision
+    from sift3d_tpu.ops.desc_kernel import desc_hist_pallas, _mt_split
+
+    # dv must be the exact f32 det rows; the split numerator halves must
+    # reconstruct the f32 rows to bf16x2 accuracy.
+    from sift3d_tpu import geometry
+    dv, mtyz = (np.asarray(a) for a in _mt_split())
+    np.testing.assert_array_equal(dv, geometry.MT_MATRIX.T[:20])
+    np.testing.assert_allclose(mtyz[:, :3] + mtyz[:, 6:],
+                               geometry.MT_MATRIX.T[20:], rtol=0, atol=2e-6)
+
+    def walk(jaxpr, out):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                out.append((eqn.invars[0].aval.shape,
+                            eqn.params.get("precision")))
+            for v in eqn.params.values():
+                for leaf in jax.tree_util.tree_leaves(
+                        v, is_leaf=lambda x: hasattr(x, "eqns")):
+                    if hasattr(leaf, "eqns"):
+                        walk(leaf, out)
+                    elif hasattr(leaf, "jaxpr"):
+                        walk(leaf.jaxpr, out)
+        return out
+
+    ok = (Precision.HIGH, Precision.HIGHEST)
+    for K in (8, 3):  # packed and single-keypoint kernels
+        grot = jnp.zeros((K, 3, 8192), jnp.float32)
+        vbins = jnp.zeros((K, 3, 8192), jnp.float32)
+        jx = jax.make_jaxpr(lambda g, v: desc_hist_pallas(g, v))(grot, vbins)
+        dots = walk(jx.jaxpr, [])
+        assert any(s == (40, 9) for s, _ in dots), (
+            "split-precision numerator dot ([40, 9]) not in kernel jaxpr")
+        for shape, prec in dots:
+            if shape in ((60, 3), (20, 3), (40, 3)):
+                # any naive face-geometry dot must be high-precision
+                assert prec is not None and all(p in ok for p in prec), (
+                    f"face-geometry dot {shape} at unsafe precision {prec}")
+
+
 def test_kernel_single_path_matches_packed():
     """K not a multiple of 8 takes the single-keypoint kernel; both paths
     must agree (same flags semantics, same histogram math)."""
