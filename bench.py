@@ -82,12 +82,13 @@ def make_dense_volume(n: int) -> np.ndarray:
     return vol
 
 
-def bench_tpu(vol: np.ndarray, repeats: int):
+def bench_tpu(vol: np.ndarray, repeats: int, overrides=None):
     import jax
     import sift3d_tpu as s3d
+    from sift3d_tpu.params import DetectorParams
     from sift3d_tpu.volume import Volume
 
-    det = s3d.SIFT3D()
+    det = s3d.SIFT3D(DetectorParams(**(overrides or {})))
     vol_dev = Volume.from_array(vol)  # resident on device
     jax.block_until_ready(vol_dev.data)
 
@@ -163,7 +164,14 @@ def main(argv=None) -> int:
     ap.add_argument("--registration", action="store_true",
                     help="additionally emit registration benchmark JSON "
                          "lines (BASELINE configs 4-5)")
+    ap.add_argument("--param", action="append", default=[],
+                    metavar="K=V", help="DetectorParams override (A/B "
+                    "experiments), e.g. --param conv_precision=highest")
     args = ap.parse_args(argv)
+    overrides = {}
+    for kv in args.param:
+        k, v = kv.split("=", 1)
+        overrides[k] = int(v) if v.lstrip("-").isdigit() else v
 
     # Compiles through the tunneled backend are expensive; the persistent
     # cache makes warm runs (and driver re-runs in this checkout) instant.
@@ -174,7 +182,7 @@ def main(argv=None) -> int:
     vol = (make_dense_volume(args.size) if args.dense
            else make_bench_volume(args.size))
 
-    ms, n_kp, n_desc = bench_tpu(vol, args.repeats)
+    ms, n_kp, n_desc = bench_tpu(vol, args.repeats, overrides)
     print(f"# tpu: {ms:.2f} ms  keypoints={n_kp} descriptors={n_desc}",
           file=sys.stderr)
 

@@ -78,7 +78,7 @@ def build_gpyr_sharded(vol, plan: PyramidPlan, mesh: Mesh, axis: str):
             Ws = plan.conv_matrices(o, taps)
             if sharded:
                 return _blur_sharded(x, Ws, plan, mesh, axis)
-            return blur(x, Ws, params)
+            return blur(x, Ws, params, octave=o)
 
         levels = [do_blur(src, plan.first_taps) if o == 0 else src]
         for i in range(1, L):

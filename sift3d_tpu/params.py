@@ -96,6 +96,15 @@ class DetectorParams:
     # "highest" (even conv_precision="high" for ALL levels did); bf16x3 on
     # these three levels halves their MXU passes, ~25% of the gpyr cost.
     conv_tail_precision: str = "high"
+    # Octave index from which the gpyr blurs run at full f32 ("highest")
+    # regardless of conv_precision / conv_tail_precision. Octave o costs
+    # ~8^-o of octave 0, so exact small octaves are nearly free (~2% of
+    # gpyr MXU time for the default 2) while removing the bf16x3 noise
+    # that can flip near-threshold DoG extrema there: at 256^3 the dense
+    # bench's single high-octave keypoint flip (849/850 vs the C oracle
+    # under "high_xy") disappears with this default, restoring EXACT
+    # keypoint-set parity on both bench workloads. Large values disable.
+    conv_exact_from_octave: int = 2
     # Gaussian pyramid implementation: "composed" = per-octave composed
     # operators as batched MXU matmuls (one matmul chain per octave);
     # "incremental" = the reference's sequential per-level chain with each
@@ -155,6 +164,10 @@ class DetectorParams:
             raise ValueError(
                 f"conv_tail_precision must be 'highest', 'high' or "
                 f"'default', got {self.conv_tail_precision!r}")
+        if self.conv_exact_from_octave < 0:
+            raise ValueError(
+                f"conv_exact_from_octave must be >= 0, "
+                f"got {self.conv_exact_from_octave}")
         if self.extrema_impl not in ("auto", "xla", "pallas", "interpret"):
             raise ValueError(
                 f"extrema_impl must be 'auto', 'xla', 'pallas' or "

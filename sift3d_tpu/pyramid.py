@@ -160,7 +160,7 @@ def _tail_precision(params: DetectorParams):
 
 
 def blur(vol: jnp.ndarray, Ws: Sequence[np.ndarray],
-         params: DetectorParams) -> jnp.ndarray:
+         params: DetectorParams, octave: int = 0) -> jnp.ndarray:
     """Separable blur of vol[nx,ny,nz] as three dense matmuls.
 
     Per-axis pass out = W @ signal, exactly the banded matrix from
@@ -168,7 +168,10 @@ def blur(vol: jnp.ndarray, Ws: Sequence[np.ndarray],
     (apply_Sep_FIR_filter, imutil.c:1165-1188); matmul accumulation
     reorders the per-tap sums, which is tolerance-level only.
     """
-    pxy, pz = _precision(params)
+    if octave >= params.conv_exact_from_octave:
+        pxy = pz = jax.lax.Precision.HIGHEST
+    else:
+        pxy, pz = _precision(params)
     Wx, Wy, Wz = (jnp.asarray(W) for W in Ws)
     vol = jnp.einsum("ab,byz->ayz", Wx, vol, precision=pxy)
     vol = jnp.einsum("ab,xbz->xaz", Wy, vol, precision=pxy)
@@ -250,7 +253,7 @@ def build_gpyr_sequential(vol: jnp.ndarray,
         levels.append(first)
         for i in range(1, L):
             Ws = plan.conv_matrices(o, plan.level_taps[i])
-            levels.append(blur(levels[i - 1], Ws, params))
+            levels.append(blur(levels[i - 1], Ws, params, octave=o))
         octaves.append(jnp.stack(levels))
     return octaves
 
@@ -344,21 +347,28 @@ def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
     # "pallas"/"auto" resolve to the composed operators here: the fused
     # kernel's benefit is its free DoG output, so only build_gpyr_and_dog
     # routes to it.
-    groups = _composed_groups(params)
     L = plan.num_gpyr_levels
     octaves = []
     for o in range(plan.num_octaves):
         src = vol if o == 0 else octaves[o - 1][L - 3]
-        octaves.append(_build_octave_composed(src, plan, o, groups))
+        octaves.append(_build_octave_composed(src, plan, o,
+                                              _composed_groups(params, o)))
     return octaves
 
 
-def _composed_groups(params: DetectorParams):
+def _composed_groups(params: DetectorParams, octave: int = 0):
     """Contiguous level ranges by precision: stacked level 0 and levels
     above the keypoint levels feed only DoG neighbor comparisons (see
     DetectorParams.conv_tail_precision); levels 1..nl feed orientation /
     descriptor windows and the next octave's source (L-3) and stay at
-    conv_precision. Each entry is (start, end, (prec_xy, prec_z))."""
+    conv_precision. Octaves >= conv_exact_from_octave run every level at
+    HIGHEST — they cost ~8^-octave of octave 0, so exactness there is
+    nearly free and removes bf16x3 flips of near-threshold extrema. Each
+    entry is (start, end, (prec_xy, prec_z))."""
+    L0 = params.num_gpyr_levels
+    if octave >= params.conv_exact_from_octave:
+        hi = (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+        return [(0, L0, hi)]
     prec = _precision(params)
     tail_prec = _tail_precision(params)
     L = params.num_gpyr_levels
@@ -418,7 +428,6 @@ def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
     from .ops.blur_kernel import blur3d_pallas
 
     L = plan.num_gpyr_levels
-    groups = _composed_groups(params)
     gps, dogs = [], []
     src = vol            # next octave's source level, kept UNstacked:
     # slicing a [L, n, n, n] stack re-reads a full level through a copy.
@@ -426,7 +435,8 @@ def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
         dims = plan.octave_dims[o]
         if dims[2] < _PALLAS_MIN_LANES:
             # composed operators fold the downsample themselves
-            oct_ = _build_octave_composed(src, plan, o, groups)
+            oct_ = _build_octave_composed(src, plan, o,
+                                          _composed_groups(params, o))
             gps.append(oct_)
             dogs.append(oct_[:-1] - oct_[1:])
             src = oct_[L - 3]

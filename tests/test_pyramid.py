@@ -133,3 +133,39 @@ def test_gpyr_impl_param_dispatch():
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
     with pytest.raises(ValueError):
         DetectorParams(gpyr_impl="banded")
+
+
+def test_conv_exact_from_octave_policy():
+    """Octaves >= conv_exact_from_octave must run every blur einsum at
+    HIGHEST precision regardless of conv_precision (they cost ~8^-o of
+    octave 0; exactness there removes bf16x3 flips of near-threshold
+    extrema — the dense 256^3 bench's 849/850 keypoint gap vs the C
+    oracle). Pin the composed-group policy and the jaxpr of the builder."""
+    import jax
+    from jax.lax import Precision
+    from sift3d_tpu.pyramid import _composed_groups
+
+    p = DetectorParams(conv_precision="high_xy", conv_exact_from_octave=2)
+    # Policy level: octave >= 2 collapses to one all-HIGHEST group.
+    assert _composed_groups(p, 2) == [
+        (0, p.num_gpyr_levels, (Precision.HIGHEST, Precision.HIGHEST))]
+    g01 = _composed_groups(p, 0)
+    assert len(g01) == 3  # tail / kp / tail precision split retained
+    assert _composed_groups(p, 1) == g01
+
+    # Jaxpr level: a 64^3 build has octaves 0..3; every dot_general fed by
+    # an octave >= 2 shape (<= 16^3 volumes) must be HIGHEST. Octave dims
+    # identify the groups: einsum operands at octave o have extent 64/2^o.
+    plan = make_plan((64, 64, 64), (1.0, 1.0, 1.0), p)
+    jx = jax.make_jaxpr(lambda v: build_gpyr(v, plan))(
+        jnp.zeros((64, 64, 64), jnp.float32))
+    small_dots = [eqn for eqn in jx.jaxpr.eqns
+                  if eqn.primitive.name == "dot_general"
+                  and all(d <= 16 for v in eqn.invars
+                          for d in v.aval.shape)]
+    assert small_dots, "no small-octave dots found in the gpyr jaxpr"
+    for eqn in small_dots:
+        prec = eqn.params.get("precision")
+        assert prec is not None and all(
+            pr == Precision.HIGHEST for pr in prec), (
+            f"small-octave dot at precision {prec}")

@@ -136,7 +136,7 @@ def main():
             elif k == "desc":
                 kw["desc_precision"] = v
             else:
-                kw[k] = v
+                kw[k] = int(v) if v.lstrip("-").isdigit() else v
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
