@@ -309,7 +309,8 @@ def _hint_fit(plan: PyramidPlan, cfg: tuple, counts, octs_host) -> bool:
 
 
 @functools.lru_cache(maxsize=64)
-def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batched: bool = False):
+def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batch: int = 0,
+                    vmapped: bool = False):
     """The fully-fused hinted detection program: pyramid + DoG + extrema +
     candidate compaction + mixed-level orientation + speculative descriptor
     extraction for every octave in ONE jitted computation.
@@ -318,18 +319,30 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batched: bool = False):
     detection on this plan (see _hint_cfg). One dispatch and one
     device->host transfer replace the per-stage dispatch chain — on a
     high-latency link each extra dispatch/sync costs milliseconds, and XLA
-    can overlap the independent per-octave stages."""
+    can overlap the independent per-octave stages.
+
+    batch > 0 compiles the program for data[batch, nx, ny, nz] by
+    UNROLLING the single-volume body over the batch inside one jit —
+    not jax.vmap: the Pallas extrema + orientation kernels hand-DMA from
+    ANY-space refs and have no batching rule, and the vmapped XLA
+    fallbacks measured +75% device time per volume (tools/
+    batch_budget.py: 26.7 -> 46.5 ms/vol at 256^3, B=4). Unrolled, each
+    volume runs the exact single-volume program; outputs stack on a
+    leading batch axis (the same pytree the vmapped variant produced).
+
+    vmapped=True instead wraps the body in jax.vmap (XLA fallbacks for
+    the un-batchable kernels): for inputs SHARDED over a mesh batch
+    axis, vmap is the form GSPMD partitions cleanly — an unrolled
+    data[b] slice of a batch-sharded array would re-route every volume
+    through collectives."""
     from .detect import compact_flat, detect_extrema_octave
 
     params = plan.params
     nl = params.num_kp_levels
-    # The orientation Pallas kernel hand-DMAs windows from an ANY-space
-    # ref, which has no vmap batching rule — the vmapped (batched) variant
-    # of this program must use the XLA moments path.
-    ori_pallas = False if batched else None
+    ori_pallas = False if vmapped else None
+    xla_only = False if vmapped else None
 
-    @jax.jit
-    def run(data):
+    def one(data):
         # Host-bound payloads carry ONLY the kept (accepted) slots plus
         # tiny per-level reductions. The payload transfer is serial with
         # the RTT on a high-latency link, so every byte counts:
@@ -352,14 +365,12 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batched: bool = False):
             return jnp.stack([g, r, c, ori.accepted])
 
         x = scale_to_unit(data)
-        gpyr, dogs = build_gpyr_and_dog(
-            x, plan, use_pallas=(False if batched else None))
+        gpyr, dogs = build_gpyr_and_dog(x, plan, use_pallas=xla_only)
         cands, octs = [], []
         for o, (cap, ospec, dslots) in enumerate(cfg):
             dog_oct = dogs[o]
-            cand = detect_extrema_octave(
-                dog_oct, params, cap,
-                use_pallas=(False if batched else None))
+            cand = detect_extrema_octave(dog_oct, params, cap,
+                                         use_pallas=xla_only)
             units = plan.level_units(o)
             scales = np.asarray(
                 [plan.scales[o][1 + li] for li in range(nl)], np.float32)
@@ -436,7 +447,17 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batched: bool = False):
         counts = jnp.stack([c.counts for c in cands])
         return gpyr, cands, counts, octs
 
-    return run
+    if batch == 0:
+        return jax.jit(one)
+    if vmapped:
+        return jax.jit(jax.vmap(one))
+
+    @jax.jit
+    def run_batch(data):
+        outs = [one(data[b]) for b in range(batch)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+    return run_batch
 
 
 @functools.lru_cache(maxsize=16)
@@ -727,19 +748,31 @@ class SIFT3D:
         pyramid+extrema+orientation+descriptors for every volume with a
         handful of async dispatches (sub-batches sized to HBM — the fused
         program's window transients cost ~10-15x the volume per batch
-        element) and ONE device_get for all payloads. Returns the list of
-        Keypoints, or None if any volume outgrew the hinted capacities
-        (caller falls back to the exact per-volume path)."""
+        element) and ONE device_get for all payloads. The program unrolls
+        the single-volume body over the sub-batch (full Pallas kernels;
+        see _detect_full_fn). Returns the list of Keypoints, or None if
+        any volume outgrew the hinted capacities (caller falls back to
+        the exact per-volume path)."""
         B = vols.shape[0]
         cfg = _hint_cfg(plan, hint, self.params)
-        run = _detect_full_fn(plan, cfg, batched=True)
         nvox = int(np.prod(vols.shape[1:]))
         sub = min(B, max(1, int(_BATCH_HBM_BUDGET // (nvox * 4 * 14))))
         while B % sub:  # one compiled sub-batch shape
             sub -= 1
+        # Mesh-sharded batches keep the vmapped form (GSPMD partitions it
+        # cleanly along the batch axis); single-device batches unroll the
+        # single-volume program (full Pallas kernels, measured -43%
+        # device time per volume — see _detect_full_fn).
+        sharded = (hasattr(vols, "sharding")
+                   and len(vols.sharding.device_set) > 1)
+        if sharded:
+            run = _detect_full_fn(plan, cfg, vmapped=True)
+            sub = B
+        else:
+            run = _detect_full_fn(plan, cfg, batch=sub)
         chunks = []
         for s in range(0, B, sub):
-            chunks.append(jax.vmap(run)(vols[s:s + sub]))
+            chunks.append(run(vols[s:s + sub]))
         self._plan = plan
         self._gpyr = _ChunkedBatchGpyr([c[0] for c in chunks], sub)
         self._input_shape = tuple(vols.shape[1:])

@@ -33,8 +33,7 @@ from .volume import Volume, as_volume
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("nn_thresh",))
-def _match_jit(d1, d2, valid1, valid2, nn_thresh: float):
+def _match_core(d1, d2, valid1, valid2, nn_thresh: float):
     # Squared Euclidean distances via one matmul.
     sq1 = jnp.sum(d1 * d1, axis=1, keepdims=True)
     sq2 = jnp.sum(d2 * d2, axis=1, keepdims=True)
@@ -53,6 +52,9 @@ def _match_jit(d1, d2, valid1, valid2, nn_thresh: float):
     ratio = jnp.sqrt(best) / jnp.maximum(jnp.sqrt(second), 1e-30)
     ok = valid1 & (ratio < jnp.float32(nn_thresh)) & (second < big)
     return best_idx, ok
+
+
+_match_jit = jax.jit(_match_core, static_argnames=("nn_thresh",))
 
 
 def _pow2_bucket(n: int, minimum: int = 32) -> int:
@@ -97,9 +99,8 @@ def match_descriptors(desc1: Descriptors, desc2: Descriptors,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("num_iter", "err_thresh"))
-def _ransac_jit(src, dst, valid, n_valid, key, num_iter: int,
-                err_thresh: float):
+def _ransac_core(src, dst, valid, n_valid, key, num_iter: int,
+                 err_thresh: float):
     """src, dst: f32[M, 3] (rows >= n_valid are padding); valid: bool[M].
     Finds affine A (3x4) minimizing ||A [src;1] - dst|| over the best
     consensus set. M is a power-of-two bucket; n_valid is traced so the
@@ -150,6 +151,41 @@ def _ransac_jit(src, dst, valid, n_valid, key, num_iter: int,
     for _ in range(3):
         inl_cur, A_refit = refit(inl_cur, None)
     return A_refit.T, jnp.sum(inl_cur), inl_cur        # A: [3, 4]
+
+
+_ransac_jit = jax.jit(_ransac_core, static_argnames=("num_iter",
+                                                     "err_thresh"))
+
+
+@functools.partial(jax.jit, static_argnames=("nn_thresh", "num_iter",
+                                             "err_thresh"))
+def _register_pairs_jit(d1, x1, v1, d2, x2, v2, key, nn_thresh: float,
+                        num_iter: int, err_thresh: float):
+    """Fused match + RANSAC for B pairs in ONE dispatch (config 5: the
+    per-pair jits each cost an upload + two RTT syncs on a high-latency
+    link — batched they cost one of each for the whole batch).
+
+    d1/d2: f32[B, M1/M2, 768] descriptors; x1/x2: f32[B, M1/M2, 3] base
+    coords; v1/v2: validity masks. Per pair: Lowe-ratio matching
+    (_match_core), in-jit compaction of the accepted rows to a prefix
+    (the RANSAC sampler draws from the valid prefix), then _ransac_core.
+    Numerics are identical to the per-pair path: same distance matrix,
+    same compacted correspondence order (match index order), same key.
+    """
+    from .detect import compact_flat
+
+    M1 = d1.shape[1]
+
+    def pair(d1b, x1b, v1b, d2b, x2b, v2b):
+        best_idx, ok = _match_core(d1b, d2b, v1b, v2b, nn_thresh)
+        cidx, cvalid, n = compact_flat(ok, M1)
+        src = jnp.where(cvalid[:, None], x1b[cidx], 0.0)
+        dst = jnp.where(cvalid[:, None], x2b[best_idx[cidx]], 0.0)
+        A, n_inl, inl = _ransac_core(src, dst, cvalid, n, key, num_iter,
+                                     err_thresh)
+        return A, n, n_inl, inl, src, dst
+
+    return jax.vmap(pair)(d1, x1, v1, d2, x2, v2)
 
 
 @dataclasses.dataclass
@@ -230,7 +266,10 @@ def register_batch(fixed_vols, moving_vols, params=None,
     All 2B volumes run through ONE batched detection program
     (SIFT3D.detect_keypoints_batch); pass the stacked arrays pre-sharded
     over a device mesh batch axis to distribute the work over ICI.
-    Matching + RANSAC are per-pair (small, bucket-cached jits).
+    Matching + RANSAC for ALL pairs fuse into one dispatch
+    (_register_pairs_jit): per-pair jits each cost an upload + two RTT
+    syncs on a high-latency link — measured ~80 ms/pair through the
+    tunneled chip, the dominant batch cost before fusion.
 
     A pair with fewer than 4 matches yields affine=None, num_inliers=0.
     """
@@ -249,22 +288,44 @@ def register_batch(fixed_vols, moving_vols, params=None,
         kps = [k.sort_by_strength(kp_limit) for k in kps]
     dss = det.extract_descriptors_batch(kps)
 
+    # moving (dss[B+b]) matches against fixed (dss[b]); buckets shared
+    # across the batch so the fused program caches per (M1, M2) pair.
+    n_m = [len(dss[B + b]) for b in range(B)]
+    n_f = [len(dss[b]) for b in range(B)]
+    M1 = _pow2_bucket(max(max(n_m), 1))
+    M2 = _pow2_bucket(max(max(n_f), 1))
+
+    def stack(ds_list, M):
+        d = np.stack([_pad_rows(np.asarray(ds.data, np.float32), M)
+                      for ds in ds_list])
+        x = np.stack([_pad_rows(np.asarray(ds.xyz, np.float32), M)
+                      for ds in ds_list])
+        v = np.zeros((B, M), bool)
+        for b, ds in enumerate(ds_list):
+            v[b, :len(ds)] = True
+        return jnp.asarray(d), jnp.asarray(x), jnp.asarray(v)
+
+    d1, x1, v1 = stack([dss[B + b] for b in range(B)], M1)
+    d2, x2, v2 = stack([dss[b] for b in range(B)], M2)
+    A_b, n_b, ninl_b, inl_b, src_b, dst_b = jax.device_get(
+        _register_pairs_jit(d1, x1, v1, d2, x2, v2,
+                            jax.random.PRNGKey(seed), float(nn_thresh),
+                            int(num_iter), float(err_thresh)))
+
     out = []
     for b in range(B):
-        ds_f, ds_m = dss[b], dss[B + b]
-        idx_m, idx_f = match_descriptors(ds_m, ds_f, nn_thresh)
-        pts_m = ds_m.xyz[idx_m]
-        pts_f = ds_f.xyz[idx_f]
-        if len(idx_m) < 4:
+        n = int(n_b[b])
+        pts_m, pts_f = src_b[b, :n], dst_b[b, :n]
+        if n < 4:
             out.append(RegistrationResult(
-                affine=None, num_matches=len(idx_m), num_inliers=0,
+                affine=None, num_matches=n, num_inliers=0,
                 matches_fixed=pts_f, matches_moving=pts_m,
-                inlier_mask=np.zeros(len(idx_m), bool)))
+                inlier_mask=np.zeros(n, bool)))
             continue
-        A, inl = ransac_affine(pts_m, pts_f, err_thresh, num_iter, seed)
         out.append(RegistrationResult(
-            affine=A, num_matches=len(idx_m), num_inliers=int(inl.sum()),
-            matches_fixed=pts_f, matches_moving=pts_m, inlier_mask=inl))
+            affine=np.asarray(A_b[b]), num_matches=n,
+            num_inliers=int(ninl_b[b]), matches_fixed=pts_f,
+            matches_moving=pts_m, inlier_mask=np.asarray(inl_b[b, :n])))
     return out
 
 
