@@ -228,11 +228,28 @@ def register(fixed, moving, params=None, nn_thresh: float = 0.8,
     detectors: optional (det_fixed, det_moving) pair of SIFT3D objects to
     reuse across calls — a detector that has already seen a same-shape
     volume runs the fused hinted detection program (one dispatch + one
-    transfer per volume) instead of the cold per-stage path."""
+    transfer per volume) instead of the cold per-stage path.
+
+    When both volumes share a shape and there is no detector pair to
+    respect, the pair runs as register_batch(B=1): both detections in one
+    unrolled dispatch and match+RANSAC in another — fewer round-trip
+    syncs on a high-latency link."""
     from .pipeline import SIFT3D
 
     fixed = as_volume(fixed)
     moving = as_volume(moving)
+    if (detectors is None or not isinstance(detectors, (tuple, list))) \
+            and fixed.data.shape == moving.data.shape \
+            and tuple(fixed.units) == tuple(moving.units):
+        det = detectors if detectors is not None else (
+            SIFT3D(params) if params else SIFT3D())
+        return register_batch(
+            jnp.stack([jnp.asarray(fixed.data, jnp.float32)]),
+            jnp.stack([jnp.asarray(moving.data, jnp.float32)]),
+            nn_thresh=nn_thresh, err_thresh=err_thresh,
+            num_iter=num_iter, kp_limit=kp_limit, seed=seed,
+            units=tuple(fixed.units), det=det)[0]
+
     if detectors is not None:
         det_f, det_m = detectors
     else:
