@@ -108,8 +108,13 @@ def test_register_batch_matches_single():
     fixed_b = np.stack([np.asarray(p[0].data) for p in pairs])
     moving_b = np.stack([np.asarray(p[1].data) for p in pairs])
     batch = register_batch(fixed_b, moving_b, num_iter=300)
+    from sift3d_tpu.pipeline import SIFT3D
     for (fixed, moving), rb in zip(pairs, batch):
-        rs = register(fixed, moving, num_iter=300)
+        # detectors=(a, b) pins the LEGACY per-volume + per-stage path
+        # (same-shape register() without a detector pair routes through
+        # register_batch itself, which would compare the path to itself).
+        rs = register(fixed, moving, num_iter=300,
+                      detectors=(SIFT3D(), SIFT3D()))
         assert rb.num_matches == rs.num_matches
         assert rb.num_inliers == rs.num_inliers
         np.testing.assert_allclose(rb.affine, rs.affine, atol=1e-4)
