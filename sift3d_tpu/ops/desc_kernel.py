@@ -10,9 +10,8 @@ intermediates in HBM per chunk; this kernel keeps everything in VMEM:
                     weighted, zeroed where the voxel is masked out
      vbins [3, N]   spatial bin coordinates in [0, 4)
   constants:
-     dv    [20, 3]  Moller-Trumbore det rows (exact f32, VPU)
-     mt    [40, 9]  bary-numerator rows, pre-split bf16x3
-                    ([hi | hi | lo] of geometry.MT_MATRIX^T rows 20..59)
+     mt    [60, 3]  Moller-Trumbore det/bary rows (geometry.MT_MATRIX^T;
+                    applied as exact-f32 VPU broadcast FMAs, not a dot)
      kc    [20, 1]  face k-constants
      eb    [36, 20] vertex-slot one-hots (E_BARY transposed, stacked)
   output:
@@ -46,7 +45,7 @@ NB = NHIST_PER_DIM
 FLAG_TILE = 2048
 
 
-def _kernel(flags_ref, grot_ref, vbins_ref, dv_ref, mt_ref, kc_ref, eb_ref,
+def _kernel(flags_ref, grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref,
             out_ref, acc):
     k = pl.program_id(0)
     c = pl.program_id(1)
@@ -58,8 +57,8 @@ def _kernel(flags_ref, grot_ref, vbins_ref, dv_ref, mt_ref, kc_ref, eb_ref,
 
     @pl.when(flags_ref[k, c] > 0)
     def _():
-        ZY, P = _face_hist(grot_ref[0], vbins_ref[0],
-                           (dv_ref[:], mt_ref[:]), kc_ref[:], eb_ref[:])
+        ZY, P = _face_hist(grot_ref[0], vbins_ref[0], mt_ref[:], kc_ref[:],
+                           eb_ref[:])
         acc[:] += jax.lax.dot_general(
             ZY, P, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -83,34 +82,21 @@ def _face_hist(g, vb, mt, kc, eb):
     # Face-geometry precision is load-bearing: the MXU's default single
     # bf16 pass puts ~4e-3 relative noise on dets/bary numerators —
     # measured as a 0.4% median descriptor error floor vs the C oracle
-    # (>1% on edge-clipped windows), invisible at 64^3 test sizes. Mosaic
-    # supports only DEFAULT/HIGHEST dot precisions, and HIGHEST (6
-    # passes) measured +9% on the dense bench, so the work is split by
-    # sensitivity:
-    #  - dets (20 rows) exactly in f32 on the VPU (5 broadcast ops on
-    #    [20, T]): they feed the bary_eps hit tests, the face-order
-    #    short-circuit, the det sign, and the bary denominator — all
-    #    DISCONTINUOUS consumers where even 1e-5 noise flips whole
-    #    contributions (measured: max-element error 7e-4 on random
-    #    volumes with bf16x3 dets).
-    #  - ynum/znum (bary numerators) as ONE default-precision MXU pass of
-    #    contraction depth 9 over pre-split operands
-    #    ([mt_hi | mt_hi | mt_lo] @ [g_hi; g_lo; g_hi] = bf16x3, ~1e-5
-    #    relative, same MXU cost as the naive depth-3 dot — the systolic
-    #    array is 128 deep either way). Numerator noise only perturbs
-    #    barycentric weights, which are CONTINUOUS across every decision
-    #    boundary they feed (a bary weight at its -eps bound is ~0).
-    dv, mtyz = mt  # [20, 3] f32 det rows; [40, 9] split numerator rows
-    dets = (dv[:, 0:1] * g[0][None, :]
-            + dv[:, 1:2] * g[1][None, :]
-            + dv[:, 2:3] * g[2][None, :])                      # [20, T]
-    g_hi = g.astype(jnp.bfloat16).astype(jnp.float32)
-    g_lo = g - g_hi
-    g9 = jnp.concatenate([g_hi, g_lo, g_hi], axis=0)           # [9, T]
-    F = jax.lax.dot_general(mtyz, g9,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    ynum, znum = F[:20], F[20:40]
+    # (>1% on edge-clipped windows), invisible at 64^3 test sizes. The
+    # dets feed DISCONTINUOUS consumers (bary_eps hit tests, the
+    # face-order short-circuit, the det sign, the bary denominator) where
+    # even 1e-5 noise flips whole contributions. All 60 rows compute
+    # exactly in f32 on the VPU (5 broadcast FMA ops on [60, T]): a
+    # [60, 3] @ [3, T] MXU dot uses 60/128 rows and 3/128 systolic depth
+    # of every tile pass, so at bench window sizes the broadcast chain is
+    # both cheaper and exact (HIGHEST-precision dot: +9% dense bench;
+    # bf16x3-split dot: ~1e-5 numerator noise, measured parity-neutral
+    # but strictly worse than free).
+    mt3 = mt                                                   # [60, 3]
+    F = (mt3[:, 0:1] * g[0][None, :]
+         + mt3[:, 1:2] * g[1][None, :]
+         + mt3[:, 2:3] * g[2][None, :])                        # [60, T]
+    dets, ynum, znum = F[:20], F[20:40], F[40:60]
     # where(>= 0) instead of sign(): det == 0 yields adet = 0 < eps, so the
     # face is invalid either way and the kc test difference is unreachable.
     sgn = jnp.where(dets >= 0.0, 1.0, -1.0)
@@ -165,22 +151,10 @@ def _face_hist(g, vb, mt, kc, eb):
     return ZY, P
 
 
-def _mt_split():
-    """Moller-Trumbore constants for the face-geometry math (_face_hist):
-    (dv [20, 3] exact f32 det rows for the VPU, mtyz [40, 9] bary-numerator
-    rows pre-split as [hi | hi | lo] for the single-pass bf16x3 dot)."""
-    mt = jnp.asarray(geometry.MT_MATRIX.T)                  # [60, 3]
-    dv = mt[:20]
-    yz = mt[20:]
-    yz_hi = yz.astype(jnp.bfloat16).astype(jnp.float32)
-    yz_lo = (yz - yz_hi).astype(jnp.bfloat16).astype(jnp.float32)
-    return dv, jnp.concatenate([yz_hi, yz_hi, yz_lo], axis=1)
-
-
 _G = 8  # keypoints packed per grid step in the batched kernel
 
 
-def _kernel_packed(words_ref, grot_ref, vbins_ref, dv_ref, mt_ref, kc_ref,
+def _kernel_packed(words_ref, grot_ref, vbins_ref, mt_ref, kc_ref,
                    eb_ref, out_ref, acc, zy_s, p_s, dirty, *,
                    mxu_prec=None):
     """8 keypoints per grid step; their [16,T]x[T,48] histogram
@@ -225,7 +199,7 @@ def _kernel_packed(words_ref, grot_ref, vbins_ref, dv_ref, mt_ref, kc_ref,
 
     @pl.when(word > 0)
     def _():
-        mt = (dv_ref[:], mt_ref[:])
+        mt = mt_ref[:]
         kc = kc_ref[:]
         eb = eb_ref[:]
         for j in range(_G):
@@ -292,7 +266,7 @@ def _desc_hist_packed(grot, vbins, flags, interpret: bool = False,
                 else jax.lax.Precision.HIGHEST)
     kernel = functools.partial(_kernel_packed, mxu_prec=mxu_prec)
 
-    dv, mt = _mt_split()                       # [20, 3], [40, 9]
+    mt = jnp.asarray(geometry.MT_MATRIX.T)                  # [60, 3]
     kc = jnp.asarray(geometry.K_CONST[:, None])             # [20, 1]
     eb = jnp.asarray(np.concatenate(
         [geometry.E_BARY[:, j, :].T for j in range(3)]))    # [36, 20]
@@ -315,9 +289,7 @@ def _desc_hist_packed(grot, vbins, flags, interpret: bool = False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_G, 3, TILE), lambda k, c, w: (k, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 3), lambda k, c, w: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((40, 9), lambda k, c, w: (0, 0),
+            pl.BlockSpec((60, 3), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((20, 1), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -340,7 +312,7 @@ def _desc_hist_packed(grot, vbins, flags, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((K, NB * NB, NB * ICOS_NVERT),
                                        jnp.float32),
         interpret=interpret,
-    )(words, grot, vbins, dv, mt, kc, eb)
+    )(words, grot, vbins, mt, kc, eb)
 
 
 def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
@@ -349,7 +321,7 @@ def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
     assert N % TILE == 0 and flags.shape == (K, N // TILE), (
         grot.shape, flags.shape, TILE)
 
-    dv, mt = _mt_split()                       # [20, 3], [40, 9]
+    mt = jnp.asarray(geometry.MT_MATRIX.T)                  # [60, 3]
     kc = jnp.asarray(geometry.K_CONST[:, None])             # [20, 1]
     eb = jnp.asarray(np.concatenate(
         [geometry.E_BARY[:, j, :].T for j in range(3)]))    # [36, 20]
@@ -363,9 +335,7 @@ def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, TILE), lambda k, c, f: (k, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 3), lambda k, c, f: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((40, 9), lambda k, c, f: (0, 0),
+            pl.BlockSpec((60, 3), lambda k, c, f: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((20, 1), lambda k, c, f: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -384,4 +354,4 @@ def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((K, NB * NB, NB * ICOS_NVERT),
                                        jnp.float32),
         interpret=interpret,
-    )(flags, grot, vbins, dv, mt, kc, eb)
+    )(flags, grot, vbins, mt, kc, eb)

@@ -47,26 +47,17 @@ def test_kernel_matches_xla_path():
 
 
 def test_face_geometry_dot_precision():
-    """The face-selection dot (mt @ g) must never run as a plain MXU
-    DEFAULT depth-3 dot: its outputs feed the bary_eps hit tests and every
+    """The face-geometry products (mt @ g) must never run as a plain MXU
+    DEFAULT dot: their outputs feed the bary_eps hit tests and every
     barycentric weight, and a single bf16 pass put ~4e-3 relative noise on
     them — measured as a 0.4% median descriptor error floor vs the C
     oracle at 256^3 (>1% on edge-clipped windows), invisible in CPU tests.
-    The kernel computes dets exactly on the VPU (they feed the eps hit
-    tests, sign, and the bary denominator — discontinuous consumers) and
-    the bary numerators as a single depth-9 pass over pre-split bf16x3
-    operands ([hi | hi | lo] @ [g_hi; g_lo; g_hi]); guard the jaxpr so
-    this cannot silently regress to a naive depth-3 DEFAULT dot."""
+    The kernel computes all 60 rows exactly on the VPU as broadcast FMAs
+    (a [60, 3] dot would also waste 125/128 of the MXU's systolic depth);
+    guard the jaxpr so no face-geometry dot_general sneaks back in at an
+    unsafe precision."""
     from jax.lax import Precision
-    from sift3d_tpu.ops.desc_kernel import desc_hist_pallas, _mt_split
-
-    # dv must be the exact f32 det rows; the split numerator halves must
-    # reconstruct the f32 rows to bf16x2 accuracy.
-    from sift3d_tpu import geometry
-    dv, mtyz = (np.asarray(a) for a in _mt_split())
-    np.testing.assert_array_equal(dv, geometry.MT_MATRIX.T[:20])
-    np.testing.assert_allclose(mtyz[:, :3] + mtyz[:, 6:],
-                               geometry.MT_MATRIX.T[20:], rtol=0, atol=2e-6)
+    from sift3d_tpu.ops.desc_kernel import desc_hist_pallas
 
     def walk(jaxpr, out):
         for eqn in jaxpr.eqns:
@@ -88,11 +79,9 @@ def test_face_geometry_dot_precision():
         vbins = jnp.zeros((K, 3, 8192), jnp.float32)
         jx = jax.make_jaxpr(lambda g, v: desc_hist_pallas(g, v))(grot, vbins)
         dots = walk(jx.jaxpr, [])
-        assert any(s == (40, 9) for s, _ in dots), (
-            "split-precision numerator dot ([40, 9]) not in kernel jaxpr")
         for shape, prec in dots:
-            if shape in ((60, 3), (20, 3), (40, 3)):
-                # any naive face-geometry dot must be high-precision
+            if shape in ((60, 3), (20, 3), (40, 3), (40, 9)):
+                # any face-geometry dot must be high-precision
                 assert prec is not None and all(p in ok for p in prec), (
                     f"face-geometry dot {shape} at unsafe precision {prec}")
 

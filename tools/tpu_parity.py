@@ -31,7 +31,7 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
 
-def oracle_cached(vol: np.ndarray, tag: str):
+def oracle_cached(vol: np.ndarray, tag: str, units=(1.0, 1.0, 1.0)):
     """Oracle keypoints/descriptors for vol, cached on disk."""
     cache = REPO / ".bench_cache" / f"oracle_out_{tag}{vol.shape[0]}.npz"
     if cache.exists():
@@ -40,7 +40,7 @@ def oracle_cached(vol: np.ndarray, tag: str):
     from oracle import run_oracle
     import tempfile
     with tempfile.TemporaryDirectory() as td:
-        res = run_oracle(vol, Path(td) / "par")
+        res = run_oracle(vol, Path(td) / "par", units=units)
         keys, desc = res.keypoints, res.descriptors
     cache.parent.mkdir(exist_ok=True)
     np.savez_compressed(cache, keys=keys, desc=desc)
@@ -144,17 +144,22 @@ def main():
     import sift3d_tpu as s3d
     from sift3d_tpu.volume import Volume
 
+    aniso = "--aniso" in sys.argv
+    # 2.5 mm slices on 1 mm in-plane voxels: the common clinical MRI
+    # anisotropy; exercises unit-resampled fractional taps + real-world
+    # window radii at hardware precision (imutil.c:754-757).
+    units = (1.0, 1.0, 2.5) if aniso else (1.0, 1.0, 1.0)
     vol = make_dense_volume(size) if dense else make_bench_volume(size)
-    tag = "dense_" if dense else ""
-    okeys, odesc = oracle_cached(vol, tag)
-    print(f"oracle: {len(okeys)} keypoints", flush=True)
+    tag = ("dense_" if dense else "") + ("aniso_" if aniso else "")
+    okeys, odesc = oracle_cached(vol, tag, units)
+    print(f"oracle: {len(okeys)} keypoints (units {units})", flush=True)
 
     from sift3d_tpu.params import DetectorParams
     import jax
     print(f"params overrides: {kw}  backend: {jax.default_backend()}",
           flush=True)
     det = s3d.SIFT3D(DetectorParams(**kw))
-    v = Volume.from_array(vol)
+    v = Volume.from_array(vol, units=units)
     ok = True
     for pass_tag in ("exact path", "hinted fused path"):
         kp = det.detect_keypoints(v)
