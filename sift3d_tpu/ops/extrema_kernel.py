@@ -123,13 +123,36 @@ def _kernel(thr_ref, dog_ref, out_ref, cur_s, prev_s, next_s, xnb_s, sems,
     m = ((center > thr) | (center < -thr)) & (is_max | is_min)
 
     # Interior-only (sift.c:832-837): absolute x in [1, nx-2], same for
-    # y and z — this also voids the clamped/wrapped neighbor reads.
-    ax = x0 + jax.lax.broadcasted_iota(jnp.int32, (TX, ny, nz), 0)
-    ay = jax.lax.broadcasted_iota(jnp.int32, (TX, ny, nz), 1)
-    az = jax.lax.broadcasted_iota(jnp.int32, (TX, ny, nz), 2)
-    m &= (ax >= 1) & (ax <= nx - 2) & (ay >= 1) & (ay <= ny - 2) \
-        & (az >= 1) & (az <= nz - 2)
+    # y and z — this also voids the clamped/wrapped neighbor reads. The
+    # bounds tests live on per-axis broadcast vectors, NOT full
+    # [TX, ny, nz] iotas: three full-size i32 iotas kept ~3 tile planes
+    # live through the compare chain and blew the 16 MB scoped-VMEM
+    # stack at 512^2 lane planes.
+    ax = x0 + jax.lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0)
+    ay = jax.lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+    az = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
+    m &= ((ax >= 1) & (ax <= nx - 2)) & ((ay >= 1) & (ay <= ny - 2)) \
+        & ((az >= 1) & (az <= nz - 2))
     out_ref[0] = m.astype(jnp.int8)
+
+
+def _pick_tx(nx: int, ny: int, nz: int, cuboid: bool) -> int:
+    """x-tile size, adapted to the 16 MB scoped-VMEM limit.
+
+    Footprint per grid step, in [TX, ny, nz] f32 planes: scratch slabs
+    4*TX + 2 (cur SX=TX+2, prev, next, xnb; +4 more under cuboid) PLUS
+    ~5*TX of compare-chain liveness (center, is_max, is_min, the neighbor
+    in flight, the threshold mask) — measured: at 512^2 lane planes TX=4
+    and TX=2 both overflow (18.0 / 20.75 MB against the 16 MB limit)
+    while TX=1 fits; 256^2 fits TX=4 with room. TX must also divide nx
+    (odd nx degrades to TX=1)."""
+    TX = 4
+    while TX > 1 and (9 * TX + (6 if cuboid else 2)) * ny * nz * 4 \
+            > 15 * 2 ** 20:
+        TX //= 2
+    while nx % TX:
+        TX //= 2
+    return TX
 
 
 @functools.partial(jax.jit, static_argnames=("cuboid", "interpret"))
@@ -142,9 +165,7 @@ def extrema_mask_pallas(dog_oct, thresholds, cuboid: bool = False,
     """
     Ld, nx, ny, nz = dog_oct.shape
     nl = Ld - 2
-    # TX=4 keeps the scoped-VMEM footprint (slabs + the compare chain's
-    # live mask temporaries) under the 16 MB limit at ny = nz = 256.
-    TX = 4
+    TX = _pick_tx(nx, ny, nz, cuboid)
     assert nx % TX == 0, (nx, TX)
     SX = TX + 2
 

@@ -235,3 +235,22 @@ def test_extrema_pallas_fused_pipeline_integration():
     np.testing.assert_allclose(a.strength, b.strength, rtol=0, atol=0)
     np.testing.assert_allclose(a.R, b.R, atol=1e-6)
     np.testing.assert_allclose(descs[0].data, descs[1].data, atol=2e-5)
+
+
+def test_extrema_pallas_tile_vmem_budget():
+    """The x-tile adapts to the 16 MB scoped-VMEM limit (512^2 lane planes
+    overflowed the fixed TX=4 on hardware) and always divides nx."""
+    from sift3d_tpu.ops.extrema_kernel import _pick_tx
+
+    assert _pick_tx(256, 256, 256, cuboid=False) == 4   # plenty of room
+    assert _pick_tx(512, 512, 512, cuboid=False) == 1   # 18 MB at TX=2
+    assert _pick_tx(512, 512, 512, cuboid=True) == 1
+    assert _pick_tx(384, 384, 384, cuboid=False) == 2
+    assert _pick_tx(33, 40, 128, cuboid=False) == 1     # odd nx divides
+    for nx, ny, nz in ((256, 256, 256), (512, 512, 512), (384, 384, 384),
+                       (96, 130, 200), (33, 40, 128)):
+        for cuboid in (False, True):
+            tx = _pick_tx(nx, ny, nz, cuboid)
+            assert nx % tx == 0
+            planes = 9 * tx + (6 if cuboid else 2)
+            assert tx == 1 or planes * ny * nz * 4 <= 15 * 2 ** 20
