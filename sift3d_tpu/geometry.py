@@ -84,3 +84,76 @@ for f in range(ICOS_NFACES):
 E_BARY_2D = E_BARY.reshape(ICOS_NFACES * 3, ICOS_NVERT)  # [60, 12]
 
 FACE_IDX = _FACES
+
+
+def _paired_layout():
+    """Antipodal-pair face layout for the descriptor kernels, or None.
+
+    The icosahedron is centrally symmetric: its 20 faces form 10 antipodal
+    pairs whose Moller-Trumbore rows are EXACT f32 negations of each other
+    (negating every vertex coordinate negates each product in the cross/
+    dot chains exactly). A gradient ray can hit at most one face of a pair
+    (det >= bary_eps and -det >= bary_eps are mutually exclusive), so the
+    per-voxel face-selection chain can run on 10 pair rows instead of 20
+    face rows, with the candidate face of each pair picked by the det
+    sign. This also uses K_CONST > 0 (all outward-oriented faces): the
+    reference's k-sign test (sift.c:1277-1286, k = K_CONST / det >= 0)
+    then reduces to det >= 0 — already implied by det >= bary_eps.
+
+    Exactness of every relation is VERIFIED bitwise here against the
+    f32 constants; returns None (callers keep the generic 20-face path)
+    if the geometry ever stops satisfying them.
+
+    Returns dict with:
+      mt40      [40, 3] rows: [0:10] det of the pair's first face;
+                [10:20] the "shared" numerator (Y for pairs whose Y rows
+                negate across the pair, else Z); [20:30] the first face's
+                other numerator; [30:40] the second face's other numerator.
+      ta        [10] bool: True where the shared numerator is Y.
+      pri       [10, 2] f32: face-order priorities (first, second) —
+                first-hit-wins runs on these (sift.c:1277).
+      eb_paired [36, 20] vertex-slot one-hots with columns in
+                [firsts..., seconds...] order.
+    """
+    if not (K_CONST > 0).all():
+        return None
+    pairs = []
+    used = set()
+    for f in range(ICOS_NFACES):
+        if f in used:
+            continue
+        mates = [f2 for f2 in range(ICOS_NFACES)
+                 if f2 != f and np.array_equal(DET_VEC[f2], -DET_VEC[f])]
+        if len(mates) != 1 or mates[0] in used:
+            return None
+        used.update((f, mates[0]))
+        pairs.append((f, mates[0]))
+    if len(pairs) != 10:
+        return None
+
+    mt40 = np.zeros((40, 3), np.float32)
+    ta = np.zeros(10, bool)
+    pri = np.zeros((10, 2), np.float32)
+    order = []
+    for p, (f, f2) in enumerate(pairs):
+        mt40[p] = DET_VEC[f]
+        if np.array_equal(Y_VEC[f2], -Y_VEC[f]):
+            ta[p] = True
+            mt40[10 + p] = Y_VEC[f]
+            mt40[20 + p] = Z_VEC[f]
+            mt40[30 + p] = Z_VEC[f2]
+        elif np.array_equal(Z_VEC[f2], -Z_VEC[f]):
+            mt40[10 + p] = Z_VEC[f]
+            mt40[20 + p] = Y_VEC[f]
+            mt40[30 + p] = Y_VEC[f2]
+        else:
+            return None
+        pri[p] = (f, f2)
+    order = [f for f, _ in pairs] + [f2 for _, f2 in pairs]
+
+    eb = np.concatenate([E_BARY[:, j, :].T for j in range(3)])  # [36, 20]
+    return {"mt40": mt40, "ta": ta, "pri": pri,
+            "eb_paired": np.ascontiguousarray(eb[:, order])}
+
+
+PAIRED_LAYOUT = _paired_layout()

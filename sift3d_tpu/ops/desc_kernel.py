@@ -9,11 +9,11 @@ intermediates in HBM per chunk; this kernel keeps everything in VMEM:
      grot  [3, N]   gradient rotated into the keypoint frame, Gaussian
                     weighted, zeroed where the voxel is masked out
      vbins [3, N]   spatial bin coordinates in [0, 4)
-  constants:
-     mt    [60, 3]  Moller-Trumbore det/bary rows (geometry.MT_MATRIX^T;
-                    applied as exact-f32 VPU broadcast FMAs, not a dot)
-     kc    [20, 1]  face k-constants
-     eb    [36, 20] vertex-slot one-hots (E_BARY transposed, stacked)
+  constants (antipodal-pair layout, geometry.PAIRED_LAYOUT):
+     mt    [40, 3]  Moller-Trumbore det/bary rows for 10 face pairs
+                    (applied as exact-f32 VPU broadcast FMAs, not a dot)
+     pri   [10, 3]  (first, second) face priorities + is-Y-shared flag
+     eb    [36, 20] vertex-slot one-hots (E_BARY stacked, paired order)
   output:
      hist  [16, 48] = [(cz,cy), (cx,v)] partial histogram
 
@@ -45,7 +45,21 @@ NB = NHIST_PER_DIM
 FLAG_TILE = 2048
 
 
-def _kernel(flags_ref, grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref,
+def _paired_constants():
+    """Device constants for the antipodal-pair face layout:
+    (mt40 [40, 3], pri [10, 3], eb_paired [36, 20]) — see _face_hist."""
+    lay = geometry.PAIRED_LAYOUT
+    assert lay is not None, (
+        "geometry.PAIRED_LAYOUT unavailable (icosahedron constants lost "
+        "central symmetry?) — use the XLA descriptor path")
+    mt = jnp.asarray(lay["mt40"])
+    pri = jnp.asarray(np.concatenate(
+        [lay["pri"], lay["ta"][:, None].astype(np.float32)], axis=1))
+    eb = jnp.asarray(lay["eb_paired"])
+    return mt, pri, eb
+
+
+def _kernel(flags_ref, grot_ref, vbins_ref, mt_ref, pri_ref, eb_ref,
             out_ref, acc):
     k = pl.program_id(0)
     c = pl.program_id(1)
@@ -57,8 +71,8 @@ def _kernel(flags_ref, grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref,
 
     @pl.when(flags_ref[k, c] > 0)
     def _():
-        ZY, P = _face_hist(grot_ref[0], vbins_ref[0], mt_ref[:], kc_ref[:],
-                           eb_ref[:])
+        ZY, P = _face_hist(grot_ref[0], vbins_ref[0], mt_ref[:],
+                           pri_ref[:], eb_ref[:])
         acc[:] += jax.lax.dot_general(
             ZY, P, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -68,14 +82,21 @@ def _kernel(flags_ref, grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref,
         out_ref[0] = acc[:]
 
 
-def _face_hist(g, vb, mt, kc, eb):
+def _face_hist(g, vb, mt, pri, eb):
     """Shared per-keypoint math: (ZY [16, T], P [48, T]) from g/vb [3, T].
 
     Exact semantics of descriptor.py's XLA path (first valid face in face
-    order wins, division-free hit tests, sift.c:1254-1291). eb is the
-    [36, 20] constant stacking E_BARY[:, j, :]^T for j = 0..2 (vertex-slot
-    one-hots), letting the vertex scatter run as one MXU dot against the
-    face one-hot instead of VPU index extraction."""
+    order wins, division-free hit tests, sift.c:1254-1291), computed on
+    the ANTIPODAL-PAIR layout (geometry.PAIRED_LAYOUT): the icosahedron's
+    20 faces form 10 pairs whose Moller-Trumbore rows are exact f32
+    negations, at most one face of a pair can pass the det >= bary_eps
+    test, and K_CONST > 0 reduces the reference's k-sign test to
+    det >= 0 — so face selection runs on [10, T] pair rows (40 geometry
+    rows) instead of [20, T]/[60, T], bit-identically. mt = mt40 [40, 3];
+    pri [10, 3] = (first-face priority, second-face priority, is-Y-shared
+    flag); eb [36, 20] = vertex-slot one-hots (E_BARY stacked) with
+    columns in [firsts..., seconds...] pair order, letting the vertex
+    scatter run as one MXU dot against the face one-hot."""
     T = g.shape[1]
     eps = jnp.float32(1.1920928955078125e-06)  # bary_eps (sift.c:40)
 
@@ -85,37 +106,43 @@ def _face_hist(g, vb, mt, kc, eb):
     # (>1% on edge-clipped windows), invisible at 64^3 test sizes. The
     # dets feed DISCONTINUOUS consumers (bary_eps hit tests, the
     # face-order short-circuit, the det sign, the bary denominator) where
-    # even 1e-5 noise flips whole contributions. All 60 rows compute
-    # exactly in f32 on the VPU (5 broadcast FMA ops on [60, T]): a
-    # [60, 3] @ [3, T] MXU dot uses 60/128 rows and 3/128 systolic depth
-    # of every tile pass, so at bench window sizes the broadcast chain is
-    # both cheaper and exact (HIGHEST-precision dot: +9% dense bench;
-    # bf16x3-split dot: ~1e-5 numerator noise, measured parity-neutral
-    # but strictly worse than free).
-    mt3 = mt                                                   # [60, 3]
-    F = (mt3[:, 0:1] * g[0][None, :]
-         + mt3[:, 1:2] * g[1][None, :]
-         + mt3[:, 2:3] * g[2][None, :])                        # [60, T]
-    dets, ynum, znum = F[:20], F[20:40], F[40:60]
-    # where(>= 0) instead of sign(): det == 0 yields adet = 0 < eps, so the
-    # face is invalid either way and the kc test difference is unreachable.
-    sgn = jnp.where(dets >= 0.0, 1.0, -1.0)
-    adet = dets * sgn
-    neg_eps_adet = -eps * adet
-    ysn = ynum * sgn
-    zsn = znum * sgn
-    validf = ((adet >= eps) & (ysn >= neg_eps_adet) & (zsn >= neg_eps_adet)
-              & (adet - ysn - zsn >= neg_eps_adet) & (kc * sgn >= 0.0))
+    # even 1e-5 noise flips whole contributions. All 40 rows compute
+    # exactly in f32 on the VPU (5 broadcast FMA ops on [40, T]): a
+    # [40, 3] @ [3, T] MXU dot would waste 125/128 of the systolic depth,
+    # so the broadcast chain is both cheaper and exact (HIGHEST-precision
+    # dot: +9% dense bench; bf16x3-split dot: ~1e-5 numerator noise,
+    # measured parity-neutral but strictly worse than free).
+    F = (mt[:, 0:1] * g[0][None, :]
+         + mt[:, 1:2] * g[1][None, :]
+         + mt[:, 2:3] * g[2][None, :])                        # [40, T]
+    dp, shr, n1, n2 = F[0:10], F[10:20], F[20:30], F[30:40]
 
-    iota20 = jax.lax.broadcasted_iota(jnp.int32, (20, T), 0)
-    first = jnp.min(jnp.where(validf, iota20, 20), axis=0)       # [T]
-    anyf = first < 20
-    onehot = (iota20 == jnp.minimum(first, 19)[None, :])         # [20, T]
-    onehotf = onehot.astype(jnp.float32)
+    # Pick each pair's candidate face by the det sign (the other face of
+    # the pair cannot pass det >= eps). d_eff/shr_eff are the candidate's
+    # raw det / shared numerator — exact f32 negations when the second
+    # face is picked; alt is its other numerator (own exact row).
+    sel = dp >= 0.0
+    s10 = jnp.where(sel, 1.0, -1.0)
+    d_eff = dp * s10
+    shr_eff = shr * s10
+    alt = jnp.where(sel, n1, n2)
+    taf = pri[:, 2:3]                   # 1.0 where the shared row is Y
+    ynum = taf * shr_eff + (1.0 - taf) * alt
+    znum = taf * alt + (1.0 - taf) * shr_eff
+    neg_eps_d = -eps * d_eff
+    valid = ((d_eff >= eps) & (shr_eff >= neg_eps_d) & (alt >= neg_eps_d)
+             & (d_eff - ynum - znum >= neg_eps_d))            # [10, T]
 
-    det_s = jnp.sum(onehotf * dets, axis=0)
-    yn_s = jnp.sum(onehotf * ynum, axis=0)
-    zn_s = jnp.sum(onehotf * znum, axis=0)
+    prisel = jnp.where(sel, pri[:, 0:1], pri[:, 1:2])         # [10, T]
+    cand = jnp.where(valid, prisel, 20.0)
+    first = jnp.min(cand, axis=0)                             # [T]
+    anyf = first < 20.0
+    poh = (valid & (prisel == first[None, :])).astype(jnp.float32)
+
+    det_s = jnp.sum(poh * d_eff, axis=0)
+    yn_s = jnp.sum(poh * ynum, axis=0)
+    zn_s = jnp.sum(poh * znum, axis=0)
+    # det_s == 0 iff no face fired; mag == 0 kills those lanes either way.
     inv = jnp.where(det_s != 0.0, 1.0 / det_s, 0.0)
     ys = yn_s * inv
     zs = zn_s * inv
@@ -123,6 +150,11 @@ def _face_hist(g, vb, mt, kc, eb):
 
     gsq = g[0] * g[0] + g[1] * g[1] + g[2] * g[2]
     mag = jnp.where(anyf & (gsq >= eps), jnp.sqrt(gsq), 0.0)     # [T]
+
+    # Face one-hot in the paired column order [firsts..., seconds...].
+    sel_f = s10 * 0.5 + 0.5
+    oh_first = poh * sel_f
+    onehotf = jnp.concatenate([oh_first, poh - oh_first], axis=0)
 
     # Vertex scatter on the MXU: G[36, T] = eb @ onehot; rows j*12..j*12+11
     # hold the vertex one-hot of bary slot j for each voxel's face.
@@ -154,7 +186,7 @@ def _face_hist(g, vb, mt, kc, eb):
 _G = 8  # keypoints packed per grid step in the batched kernel
 
 
-def _kernel_packed(words_ref, grot_ref, vbins_ref, mt_ref, kc_ref,
+def _kernel_packed(words_ref, grot_ref, vbins_ref, mt_ref, pri_ref,
                    eb_ref, out_ref, acc, zy_s, p_s, dirty, *,
                    mxu_prec=None):
     """8 keypoints per grid step; their [16,T]x[T,48] histogram
@@ -200,14 +232,15 @@ def _kernel_packed(words_ref, grot_ref, vbins_ref, mt_ref, kc_ref,
     @pl.when(word > 0)
     def _():
         mt = mt_ref[:]
-        kc = kc_ref[:]
+        pri = pri_ref[:]
         eb = eb_ref[:]
         for j in range(_G):
             f = (word >> j) & 1
 
             @pl.when(f > 0)
             def _(j=j):
-                ZY, P = _face_hist(grot_ref[j], vbins_ref[j], mt, kc, eb)
+                ZY, P = _face_hist(grot_ref[j], vbins_ref[j], mt, pri,
+                                   eb)
                 zy_s[j * NB * NB:(j + 1) * NB * NB, :] = ZY
                 p_s[j * NB * ICOS_NVERT:(j + 1) * NB * ICOS_NVERT, :] = P
                 dirty[j] = 1
@@ -266,10 +299,7 @@ def _desc_hist_packed(grot, vbins, flags, interpret: bool = False,
                 else jax.lax.Precision.HIGHEST)
     kernel = functools.partial(_kernel_packed, mxu_prec=mxu_prec)
 
-    mt = jnp.asarray(geometry.MT_MATRIX.T)                  # [60, 3]
-    kc = jnp.asarray(geometry.K_CONST[:, None])             # [20, 1]
-    eb = jnp.asarray(np.concatenate(
-        [geometry.E_BARY[:, j, :].T for j in range(3)]))    # [36, 20]
+    mt, pri, eb = _paired_constants()
 
     # Bit-pack the per-keypoint tile flags of each G-pack into one int32
     # per (pack, tile); the word rides in as a scalar-prefetch argument
@@ -289,9 +319,9 @@ def _desc_hist_packed(grot, vbins, flags, interpret: bool = False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_G, 3, TILE), lambda k, c, w: (k, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((60, 3), lambda k, c, w: (0, 0),
+            pl.BlockSpec((40, 3), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 1), lambda k, c, w: (0, 0),
+            pl.BlockSpec((10, 3), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((36, 20), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -312,7 +342,7 @@ def _desc_hist_packed(grot, vbins, flags, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((K, NB * NB, NB * ICOS_NVERT),
                                        jnp.float32),
         interpret=interpret,
-    )(words, grot, vbins, mt, kc, eb)
+    )(words, grot, vbins, mt, pri, eb)
 
 
 def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
@@ -321,10 +351,7 @@ def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
     assert N % TILE == 0 and flags.shape == (K, N // TILE), (
         grot.shape, flags.shape, TILE)
 
-    mt = jnp.asarray(geometry.MT_MATRIX.T)                  # [60, 3]
-    kc = jnp.asarray(geometry.K_CONST[:, None])             # [20, 1]
-    eb = jnp.asarray(np.concatenate(
-        [geometry.E_BARY[:, j, :].T for j in range(3)]))    # [36, 20]
+    mt, pri, eb = _paired_constants()
 
     grid = (K, N // TILE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -335,9 +362,9 @@ def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, TILE), lambda k, c, f: (k, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((60, 3), lambda k, c, f: (0, 0),
+            pl.BlockSpec((40, 3), lambda k, c, f: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 1), lambda k, c, f: (0, 0),
+            pl.BlockSpec((10, 3), lambda k, c, f: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((36, 20), lambda k, c, f: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -354,4 +381,4 @@ def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((K, NB * NB, NB * ICOS_NVERT),
                                        jnp.float32),
         interpret=interpret,
-    )(flags, grot, vbins, mt, kc, eb)
+    )(flags, grot, vbins, mt, pri, eb)

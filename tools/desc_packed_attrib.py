@@ -32,13 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 from sift3d_tpu import geometry
 from sift3d_tpu.params import ICOS_NVERT, NHIST_PER_DIM
 from sift3d_tpu.ops import desc_kernel as dk
-from sift3d_tpu.ops.desc_kernel import _face_hist, desc_hist_pallas
+from sift3d_tpu.ops.desc_kernel import (_face_hist, _paired_constants,
+                                         desc_hist_pallas)
 
 NB = NHIST_PER_DIM
 _G = dk._G
 
 
-def _variant_kernel(words_ref, grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref,
+def _variant_kernel(words_ref, grot_ref, vbins_ref, mt_ref, pri_ref, eb_ref,
                     out_ref, acc, zy_s, p_s, dirty, *, mode):
     k = pl.program_id(0)
     c = pl.program_id(1)
@@ -56,7 +57,7 @@ def _variant_kernel(words_ref, grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref,
     @pl.when(word > 0)
     def _():
         mt = mt_ref[:]
-        kc = kc_ref[:]
+        pri = pri_ref[:]
         eb = eb_ref[:]
         T = grot_ref.shape[2]
         for j in range(_G):
@@ -90,12 +91,12 @@ def _variant_kernel(words_ref, grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref,
                     P = (Sx[:, None, :] * B[None, :, :]).reshape(
                         NB * ICOS_NVERT, T)
                 elif mode == "nosparse":
-                    ZY_full, P_full = _face_hist(g, vb, mt, kc, eb)
+                    ZY_full, P_full = _face_hist(g, vb, mt, pri, eb)
                     # keep only the face chain's outputs alive cheaply
                     ZY = jnp.broadcast_to(P_full[0:1, :], (NB * NB, T))
                     P = P_full
                 else:
-                    ZY, P = _face_hist(g, vb, mt, kc, eb)
+                    ZY, P = _face_hist(g, vb, mt, pri, eb)
                 zy_s[j * NB * NB:(j + 1) * NB * NB, :] = ZY
                 p_s[j * NB * ICOS_NVERT:(j + 1) * NB * ICOS_NVERT, :] = P
                 dirty[j] = 1
@@ -122,10 +123,7 @@ def _variant_kernel(words_ref, grot_ref, vbins_ref, mt_ref, kc_ref, eb_ref,
 def variant(grot, vbins, flags, mode="full", tile=2048):
     K, _, N = grot.shape
     TILE = tile
-    mt = jnp.asarray(geometry.MT_MATRIX.T)
-    kc = jnp.asarray(geometry.K_CONST[:, None])
-    eb = jnp.asarray(np.concatenate(
-        [geometry.E_BARY[:, j, :].T for j in range(3)]))
+    mt, pri, eb = _paired_constants()
     words = jnp.sum(
         flags.reshape(K // _G, _G, -1)
         << jnp.arange(_G, dtype=jnp.int32)[None, :, None],
@@ -140,9 +138,9 @@ def variant(grot, vbins, flags, mode="full", tile=2048):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_G, 3, TILE), lambda k, c, w: (k, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((60, 3), lambda k, c, w: (0, 0),
+            pl.BlockSpec((40, 3), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 1), lambda k, c, w: (0, 0),
+            pl.BlockSpec((10, 3), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((36, 20), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -162,7 +160,7 @@ def variant(grot, vbins, flags, mode="full", tile=2048):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, NB * NB, NB * ICOS_NVERT),
                                        jnp.float32),
-    )(words, grot, vbins, mt, kc, eb)
+    )(words, grot, vbins, mt, pri, eb)
 
 
 def timed(label, fn, n=5, per=None):
