@@ -213,7 +213,7 @@ def _extract_one(level, coord, center, R, sd,
 
 def _prep_window(level, coord, center, R, sd,
                  units: tuple[float, float, float], extents, tile: int,
-                 params: DetectorParams, lvl=None):
+                 params: DetectorParams, lvl=None, kvalid=None):
     """Per-keypoint prep for the Pallas histogram kernel: rotated weighted
     gradients and spatial bins for the whole window, flattened and padded to
     a tile multiple. Masked voxels have their gradient zeroed (their
@@ -250,7 +250,13 @@ def _prep_window(level, coord, center, R, sd,
     n = level.shape
     axes = [start[a] + 1 + jax.lax.broadcasted_iota(jnp.int32, ishape, a)
             for a in range(3)]
-    mask = jnp.ones(ishape, bool)
+    # Invalid slots (speculative-capacity padding, rejected keypoints)
+    # mask out their ENTIRE window: their [K, 16, 48] histogram is zeroed
+    # downstream anyway (extract_descriptors), but an all-zero mask makes
+    # every skip flag 0, so the kernel never touches them — on the sparse
+    # 256^3 bench a third of the hinted desc slots are padding.
+    mask = (jnp.ones(ishape, bool) if kvalid is None
+            else jnp.broadcast_to(kvalid, ishape))
     for a, (c, u) in enumerate(zip((cx, cy, cz), (ux, uy, uz))):
         lo = jnp.maximum(jnp.floor(c - win_radius / u), 1.0)
         hi = jnp.minimum(jnp.ceil(c + win_radius / u),
@@ -298,9 +304,12 @@ def _prep_window(level, coord, center, R, sd,
 
 def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
                     kp_chunk: int, params: DetectorParams,
-                    interpret: bool = False, level_index=None):
+                    interpret: bool = False, level_index=None,
+                    valid=None):
     """Histogram extraction through the Pallas kernel, kp_chunk keypoints
-    per call."""
+    per call. `valid` (bool[K], optional) zeroes invalid slots' windows so
+    the kernel skips them entirely (results are unchanged — those slots
+    are zeroed downstream regardless)."""
     from .ops.desc_kernel import desc_hist_pallas
 
     K = coords.shape[0]
@@ -310,18 +319,35 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
         lvl_arg = None
     else:
         lvl_arg = True
+    if valid is None:
+        valid = jnp.ones((K,), bool)
+
+    # Mixed-level windows: sort slots by (validity, level) so each 8-slot
+    # kernel pack holds same-level keypoints. Same-level windows share
+    # their sphere/margin geometry, so their skip flags coincide and the
+    # pack-granular MXU contraction skips empty tiles that a mixed pack
+    # would keep alive; invalid slots cluster into fully-skipped packs.
+    # The inverse gather restores slot order ([K, 16, 48] — trivial).
+    perm = None
+    from .ops.desc_kernel import _G
+    if lvl_arg and K > _G:
+        key = jnp.where(valid, level_index, jnp.int32(2 ** 30))
+        perm = jnp.argsort(key, stable=True)
+        coords, centers, R, sd_arr, level_index, valid = (
+            a[perm] for a in (coords, centers, R, sd_arr, level_index,
+                              valid))
 
     def chunk_fn(args):
-        c_coords, c_centers, c_R, c_sd, c_lvl = args
+        c_coords, c_centers, c_R, c_sd, c_lvl, c_val = args
         grot, vbins, flags = jax.vmap(
-            lambda co, ce, Rk, sdk, lv: _prep_window(
+            lambda co, ce, Rk, sdk, lv, va: _prep_window(
                 level, co, ce, Rk, sdk, units, extents, tile, params,
-                lvl=(lv if lvl_arg else None)))(
-            c_coords, c_centers, c_R, c_sd, c_lvl)
+                lvl=(lv if lvl_arg else None), kvalid=va))(
+            c_coords, c_centers, c_R, c_sd, c_lvl, c_val)
         return desc_hist_pallas(grot, vbins, flags, interpret=interpret,
                                 precision=params.desc_precision)
 
-    args = (coords, centers, R, sd_arr, level_index)
+    args = (coords, centers, R, sd_arr, level_index, valid)
     if K <= kp_chunk:
         hists = chunk_fn(args)
     else:
@@ -330,6 +356,8 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
             return x.reshape((K // kp_chunk, kp_chunk) + x.shape[1:])
         out = jax.lax.map(chunk_fn, tuple(reshape(a) for a in args))
         hists = out.reshape(K, *out.shape[2:])
+    if perm is not None:
+        hists = hists[jnp.argsort(perm)]
     nb = NHIST_PER_DIM
     return hists.reshape(K, nb, nb, nb, ICOS_NVERT).reshape(
         K, nb ** 3, ICOS_NVERT)
@@ -387,7 +415,7 @@ def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
     if use_pallas:
         hists = _extract_pallas(level, coords, centers, R, sd_arr, units,
                                 extents, kp_chunk, params,
-                                level_index=level_index)
+                                level_index=level_index, valid=valid)
     else:
         lvl_arr = (jnp.zeros((K,), jnp.int32) if level_index is None
                    else level_index)
