@@ -115,3 +115,51 @@ def test_kernel_single_path_matches_packed():
     h8 = np.asarray(run(8))
     h3 = np.asarray(run(3))
     np.testing.assert_allclose(h3, h8[:3], rtol=1e-6, atol=1e-6)
+
+
+def test_mixed_level_sorted_packs_match_xla():
+    """K > 8 mixed-level extraction level-sorts slots into same-level
+    packs and skips invalid slots' windows wholesale; results must match
+    the XLA path slot for slot (invalid slots zero)."""
+    from sift3d_tpu.descriptor import extract_descriptors
+    from sift3d_tpu.pyramid import make_plan
+
+    p = DetectorParams()
+    plan = make_plan((48, 48, 48), (1.0, 1.0, 1.0), p)
+    rng = np.random.default_rng(3)
+    L = 3
+    levels = jnp.asarray(rng.normal(size=(L, 48, 48, 48)).astype(np.float32))
+    K = 16
+    coords = jnp.asarray(rng.integers(10, 38, (K, 3)), jnp.int32)
+    Rm = []
+    for _ in range(K):
+        q, _r = np.linalg.qr(rng.normal(size=(3, 3)))
+        Rm.append(q.astype(np.float32))
+    R = jnp.asarray(np.stack(Rm))
+    # interleaved levels + a scattering of invalid slots
+    lvl = jnp.asarray(rng.integers(0, L, K), jnp.int32)
+    valid = jnp.asarray(rng.uniform(size=K) < 0.7)
+    scales = np.asarray([plan.scales[0][1 + s] for s in range(L)],
+                        np.float32)
+    sd = jnp.asarray(scales)[lvl]
+    sd_max = float(scales.max())
+
+    kw = dict(octave=0, units=(1.0, 1.0, 1.0), params=p, sd_max=sd_max,
+              level_index=lvl, kp_chunk=K)
+    ref = extract_descriptors(levels, coords, R, valid, sd, use_pallas=False,
+                              **kw)
+
+    from sift3d_tpu.descriptor import (_extract_pallas, _level_radius,
+                                       _normalize)
+    from sift3d_tpu.windows import window_extent
+    rad = _level_radius(sd_max, p)
+    extents = tuple(window_extent(rad / 1.0, 48) for _ in range(3))
+    hists = _extract_pallas(levels, coords, coords.astype(jnp.float32), R,
+                            sd, (1.0, 1.0, 1.0), extents, K, p,
+                            interpret=True, level_index=lvl, valid=valid)
+    desc = jax.vmap(lambda h: _normalize(h, p))(hists)
+    desc = jnp.where(valid[:, None, None], desc, 0.0).reshape(K, -1)
+
+    err = np.abs(np.asarray(desc) - np.asarray(ref.desc))
+    assert err.max() < 1e-5, err.max()
+    assert not np.asarray(desc)[~np.asarray(valid)].any()
