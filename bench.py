@@ -215,46 +215,90 @@ def main(argv=None) -> int:
     return 0
 
 
+def _oracle_budget_s(argv) -> int:
+    """Extra watchdog seconds for a COLD C-oracle run at the requested
+    size (0 when the oracle timing is already cached or skipped). The C
+    reference scales ~n^3: measured 1.3 s at 64^3, ~100-130 s at 256^3,
+    ~216 s dense 256^3, ~801 s at 512^3 on this host."""
+    args = list(argv)
+    if "--skip-oracle" in args:
+        return 0
+    size, dense = 256, False
+    for i, a in enumerate(args):
+        if a == "--size" and i + 1 < len(args):
+            size = int(args[i + 1])
+        elif a.startswith("--size="):
+            size = int(a.split("=", 1)[1])
+        elif a == "--dense":
+            dense = True
+    tag = "dense_" if dense else ""
+    if (REPO / ".bench_cache" / f"oracle_ms_{tag}{size}.json").exists():
+        return 0
+    # ~3x the measured wall at each size, floored for tiny volumes.
+    return max(120, int(2400 * (size / 512.0) ** 3) * (2 if dense else 1))
+
+
 def _watchdog(argv) -> int:
     """Re-exec the bench in a child process with a hard timeout and retry.
 
     The tunneled TPU backend intermittently hangs mid-transfer (observed:
     a device_get that never returns); a hung bench run records nothing for
     the round. A fresh process re-establishes the tunnel, so the recovery
-    is kill + retry. Attempt timeouts leave room for cold compiles and the
-    cached-on-second-attempt C oracle run. Disable with S3D_BENCH_NO_WATCHDOG=1.
+    is kill + retry. The attempt timeout leaves room for cold compiles
+    plus (when uncached) the C oracle run, which scales with --size.
+    Disable with S3D_BENCH_NO_WATCHDOG=1.
     """
     import os
+    import signal
     import subprocess
 
     env = dict(os.environ)
     env["_S3D_BENCH_CHILD"] = "1"
     cmd = [sys.executable, os.path.abspath(__file__)] + list(argv)
     rc = 1
-    for attempt, tmo in enumerate((900, 900)):
+    attempts = 2
+    for attempt in range(attempts):
+        # Re-check the oracle cache each attempt: a first attempt killed
+        # AFTER run_oracle cached its timing leaves the retry cheap.
+        tmo = 900 + _oracle_budget_s(argv)
+        last = attempt + 1 == attempts
+        verdict = "giving up" if last else "retrying in a fresh process"
+        # New session so a timeout can kill the whole process group —
+        # a killed child's helpers would otherwise hold the stderr pipe
+        # open and block a plain communicate() forever.
+        proc = subprocess.Popen(cmd, env=env, text=True,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE,
+                                start_new_session=True)
         try:
-            proc = subprocess.run(cmd, env=env, timeout=tmo,
-                                  capture_output=True, text=True)
-        except subprocess.TimeoutExpired as e:
+            out, err = proc.communicate(timeout=tmo)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            try:
+                out, err = proc.communicate(timeout=30)
+            except subprocess.TimeoutExpired:
+                out, err = "", ""
             print(f"# bench attempt {attempt + 1} timed out after {tmo}s "
-                  f"(tunnel hang?); retrying in a fresh process",
-                  file=sys.stderr)
-            if e.stderr:
-                sys.stderr.write(e.stderr if isinstance(e.stderr, str)
-                                 else e.stderr.decode(errors="replace"))
+                  f"(tunnel hang?); {verdict}", file=sys.stderr)
+            # Forward the partial streams: the '# tpu:'/'# C reference:'
+            # progress lines say where the hang occurred.
+            sys.stderr.write(err or "")
+            sys.stderr.write(out or "")
             continue
-        sys.stderr.write(proc.stderr)
+        sys.stderr.write(err)
         rc = proc.returncode
-        if rc == 0 and any(ln.startswith("{") for ln in
-                           proc.stdout.splitlines()):
+        if rc == 0 and any(ln.startswith("{") for ln in out.splitlines()):
             # Forward stdout only for the accepted attempt, so the driver
             # contract (exactly one JSON line per metric) holds even if an
             # earlier attempt died after printing.
-            sys.stdout.write(proc.stdout)
+            sys.stdout.write(out)
             sys.stdout.flush()
             return 0
-        sys.stderr.write(proc.stdout)
-        print(f"# bench attempt {attempt + 1} failed rc={rc}; retrying",
+        sys.stderr.write(out)
+        print(f"# bench attempt {attempt + 1} failed rc={rc}; {verdict}",
               file=sys.stderr)
     return rc or 1
 

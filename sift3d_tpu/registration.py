@@ -99,6 +99,32 @@ def match_descriptors(desc1: Descriptors, desc2: Descriptors,
 # ---------------------------------------------------------------------------
 
 
+def _sample_distinct4(key, num_iter: int, n_valid):
+    """[num_iter, 4] minimal-sample indices, each row 4 DISTINCT indices
+    uniform over [0, n_valid) (sequential shifted draws: the k-th draw
+    samples [0, n-k) and shifts past the earlier picks). A repeated index
+    made the 4x4 hypothesis system singular -> nan -> zero inliers,
+    silently shrinking the effective iteration count by ~6/n per
+    hypothesis."""
+    n = jnp.maximum(n_valid, 4)
+    ks = jax.random.split(key, 4)
+    r = [jax.random.randint(ks[j], (num_iter,), 0, n - j).astype(jnp.int32)
+         for j in range(4)]
+    i0 = r[0]
+    i1 = r[1] + (r[1] >= i0)
+    a01 = jnp.minimum(i0, i1)
+    b01 = jnp.maximum(i0, i1)
+    i2 = r[2] + (r[2] >= a01)
+    i2 = i2 + (i2 >= b01)
+    lo = jnp.minimum(a01, i2)
+    hi = jnp.maximum(b01, i2)
+    mid = a01 + b01 + i2 - lo - hi
+    i3 = r[3] + (r[3] >= lo)
+    i3 = i3 + (i3 >= mid)
+    i3 = i3 + (i3 >= hi)
+    return jnp.stack([i0, i1, i2, i3], axis=1)         # [num_iter, 4]
+
+
 def _ransac_core(src, dst, valid, n_valid, key, num_iter: int,
                  err_thresh: float):
     """src, dst: f32[M, 3] (rows >= n_valid are padding); valid: bool[M].
@@ -109,11 +135,7 @@ def _ransac_core(src, dst, valid, n_valid, key, num_iter: int,
     ones = jnp.ones((M, 1), jnp.float32)
     X = jnp.concatenate([src, ones], axis=1)          # [M, 4]
 
-    # Random minimal samples: 4 distinct-ish indices per hypothesis, drawn
-    # from the valid prefix only (modulo n_valid; bias is irrelevant here).
-    # (Degenerate samples produce singular systems -> nan -> zero inliers.)
-    idx = jax.random.randint(key, (num_iter, 4), 0, jnp.int32(2 ** 31 - 1))
-    idx = idx % jnp.maximum(n_valid, 1)
+    idx = _sample_distinct4(key, num_iter, n_valid)
 
     def fit4(sample_idx):
         Xs = X[sample_idx]                             # [4, 4]

@@ -45,6 +45,89 @@ def test_match_descriptors_identity():
     assert np.array_equal(perm[i2], i1)
 
 
+def test_sample_distinct4():
+    """RANSAC minimal samples must be 4 distinct in-range indices per
+    hypothesis (a repeated index wastes the hypothesis on a singular
+    system) and roughly uniform over the valid prefix."""
+    import jax
+    import jax.numpy as jnp
+    from sift3d_tpu.registration import _sample_distinct4
+
+    for n in (4, 5, 7, 23, 200):
+        idx = np.asarray(_sample_distinct4(
+            jax.random.PRNGKey(n), 2000, jnp.int32(n)))
+        assert idx.shape == (2000, 4)
+        assert idx.min() >= 0 and idx.max() < n
+        # all rows distinct
+        assert all(len(set(row)) == 4 for row in idx)
+    # uniformity: each index of [0, 8) appears in ~4/8 of 4000 rows
+    idx = np.asarray(_sample_distinct4(
+        __import__("jax").random.PRNGKey(0), 4000, jnp.int32(8)))
+    freq = np.bincount(idx.ravel(), minlength=8) / (4000 * 4)
+    assert np.abs(freq - 1 / 8).max() < 0.02
+
+
+def _match_bruteforce(d1, d2, nn_thresh=0.8):
+    """Independent NumPy reimplementation of the Lowe-ratio matcher
+    (cross-check for registration.match_descriptors): exhaustive pairwise
+    Euclidean distances, nearest + second-nearest per row, ratio test."""
+    out1, out2 = [], []
+    for i in range(len(d1)):
+        dist = np.sqrt(np.sum((d2 - d1[i]) ** 2, axis=1))
+        order = np.argsort(dist)
+        best, second = order[0], order[1]
+        if dist[best] / max(dist[second], 1e-30) < nn_thresh:
+            out1.append(i)
+            out2.append(best)
+    return np.asarray(out1, np.int64), np.asarray(out2, np.int64)
+
+
+def test_match_descriptors_vs_bruteforce():
+    """The MXU-matmul matcher must produce the identical match set to an
+    exhaustive NumPy matcher on a noisy fixture with distractors."""
+    from sift3d_tpu.keypoints import Descriptors
+    from sift3d_tpu.registration import match_descriptors
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 768)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # set 2 = 25 perturbed copies (matchable) + 15 fresh rows (distractors)
+    perm = rng.permutation(40)[:25]
+    d2 = np.concatenate([
+        base[perm] + rng.normal(0, 0.05, (25, 768)).astype(np.float32),
+        rng.normal(size=(15, 768)).astype(np.float32)])
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+
+    ds1 = Descriptors(xyz=np.zeros((40, 3), np.float32),
+                      sd=np.ones(40, np.float32), data=base)
+    ds2 = Descriptors(xyz=np.zeros((40, 3), np.float32),
+                      sd=np.ones(40, np.float32), data=d2)
+    i1, i2 = match_descriptors(ds1, ds2, nn_thresh=0.9)
+    j1, j2 = _match_bruteforce(base, d2, nn_thresh=0.9)
+    assert len(i1) > 10  # the fixture must actually exercise the test
+    assert np.array_equal(i1, j1)
+    assert np.array_equal(i2, j2)
+
+
+def test_ransac_vs_lstsq_clean():
+    """On outlier-free correspondences RANSAC must keep every point and
+    agree with a direct NumPy least-squares affine fit."""
+    from sift3d_tpu.registration import ransac_affine
+
+    rng = np.random.default_rng(3)
+    src = rng.uniform(0, 64, (60, 3)).astype(np.float32)
+    A = np.array([[1.02, -0.1, 0.03, 4.0],
+                  [0.1, 0.97, -0.02, -1.0],
+                  [-0.01, 0.04, 1.01, 2.5]], np.float32)
+    dst = (src @ A[:, :3].T + A[:, 3]
+           + rng.normal(0, 0.05, (60, 3))).astype(np.float32)
+    A_est, mask = ransac_affine(src, dst, err_thresh=1.0, num_iter=200)
+    assert mask.all()
+    X = np.c_[src, np.ones(60)]
+    A_np = np.linalg.lstsq(X, dst, rcond=None)[0].T    # [3, 4]
+    np.testing.assert_allclose(A_est, A_np, atol=5e-3)
+
+
 def test_warp_identity():
     from sift3d_tpu.registration import warp_volume
     from sift3d_tpu.volume import Volume
