@@ -53,7 +53,7 @@ def _level_radius(sd: float, params: DetectorParams) -> float:
 
 def _extract_one(level, coord, center, R, sd,
                  units: tuple[float, float, float], extents, chunk_vox: int,
-                 params: DetectorParams, lvl=None):
+                 params: DetectorParams, lvl=None, z_view=None):
     """Descriptor histogram [64, 12] for one keypoint.
 
     coord: i32[3] gather anchor; center: f32[3] true (possibly fractional)
@@ -72,10 +72,11 @@ def _extract_one(level, coord, center, R, sd,
     desc_bin_fctr = jnp.float32(1.0) / desc_hist_width
 
     if lvl is None:
-        win, start = gather_window(level, coord, extents)
+        win, start = gather_window(level, coord, extents, z_view=z_view)
     else:
         from .windows import gather_window_leveled
-        win, start = gather_window_leveled(level, lvl, coord, extents)
+        win, start = gather_window_leveled(level, lvl, coord, extents,
+                                           z_view=z_view)
         level = level[0]  # only the 3-D dims are used below
 
     ux, uy, uz = (np.float32(u) for u in units)
@@ -103,7 +104,8 @@ def _extract_one(level, coord, center, R, sd,
     ixf, iyf, izf = flat(ix), flat(iy), flat(iz)
 
     cx, cy, cz = center[0], center[1], center[2]
-    n = level.shape
+    n = (level.shape if z_view is None
+         else (level.shape[0], level.shape[1], z_view[1]))
 
     # Reference loop bounds (IM_LOOP_SPHERE_START, sift.c:91-99).
     bounds = []
@@ -213,7 +215,8 @@ def _extract_one(level, coord, center, R, sd,
 
 def _prep_window(level, coord, center, R, sd,
                  units: tuple[float, float, float], extents, tile: int,
-                 params: DetectorParams, lvl=None, kvalid=None):
+                 params: DetectorParams, lvl=None, kvalid=None,
+                 z_view=None):
     """Per-keypoint prep for the Pallas histogram kernel: rotated weighted
     gradients and spatial bins for the whole window, flattened and padded to
     a tile multiple. Masked voxels have their gradient zeroed (their
@@ -234,10 +237,11 @@ def _prep_window(level, coord, center, R, sd,
         jnp.float32(2.0) * desc_half_width / jnp.float32(nb))
 
     if lvl is None:
-        win, start = gather_window(level, coord, extents)
+        win, start = gather_window(level, coord, extents, z_view=z_view)
     else:
         from .windows import gather_window_leveled
-        win, start = gather_window_leveled(level, lvl, coord, extents)
+        win, start = gather_window_leveled(level, lvl, coord, extents,
+                                           z_view=z_view)
         level = level[0]  # only the 3-D dims are used below
     ux, uy, uz = (np.float32(u) for u in units)
     inv_u = tuple(np.float32(1.0) / u for u in (ux, uy, uz))
@@ -247,7 +251,8 @@ def _prep_window(level, coord, center, R, sd,
 
     ishape = tuple(g - 2 for g in extents)
     cx, cy, cz = center[0], center[1], center[2]
-    n = level.shape
+    n = (level.shape if z_view is None
+         else (level.shape[0], level.shape[1], z_view[1]))
     axes = [start[a] + 1 + jax.lax.broadcasted_iota(jnp.int32, ishape, a)
             for a in range(3)]
     # Invalid slots (speculative-capacity padding, rejected keypoints)
@@ -305,7 +310,7 @@ def _prep_window(level, coord, center, R, sd,
 def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
                     kp_chunk: int, params: DetectorParams,
                     interpret: bool = False, level_index=None,
-                    valid=None):
+                    valid=None, z_view=None):
     """Histogram extraction through the Pallas kernel, kp_chunk keypoints
     per call. `valid` (bool[K], optional) zeroes invalid slots' windows so
     the kernel skips them entirely (results are unchanged — those slots
@@ -342,10 +347,23 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
         grot, vbins, flags = jax.vmap(
             lambda co, ce, Rk, sdk, lv, va: _prep_window(
                 level, co, ce, Rk, sdk, units, extents, tile, params,
-                lvl=(lv if lvl_arg else None), kvalid=va))(
+                lvl=(lv if lvl_arg else None), kvalid=va,
+                z_view=z_view))(
             c_coords, c_centers, c_R, c_sd, c_lvl, c_val)
         return desc_hist_pallas(grot, vbins, flags, interpret=interpret,
                                 precision=params.desc_precision)
+
+    def chunk_fn_skip(args):
+        # Inside the lax.map scan the cond is a REAL branch: packs whose
+        # slots are all invalid (speculative-capacity padding — they sort
+        # to the tail) skip window prep AND the kernel launch entirely.
+        # Results are unchanged: invalid slots produce zeros either way.
+        nb = NHIST_PER_DIM
+        return jax.lax.cond(
+            jnp.any(args[5]), chunk_fn,
+            lambda a: jnp.zeros((kp_chunk, nb * nb, nb * ICOS_NVERT),
+                                jnp.float32),
+            args)
 
     args = (coords, centers, R, sd_arr, level_index, valid)
     if K <= kp_chunk:
@@ -354,7 +372,7 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
         assert K % kp_chunk == 0, (K, kp_chunk)
         def reshape(x):
             return x.reshape((K // kp_chunk, kp_chunk) + x.shape[1:])
-        out = jax.lax.map(chunk_fn, tuple(reshape(a) for a in args))
+        out = jax.lax.map(chunk_fn_skip, tuple(reshape(a) for a in args))
         hists = out.reshape(K, *out.shape[2:])
     if perm is not None:
         hists = hists[jnp.argsort(perm)]
@@ -382,8 +400,8 @@ def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
                         sd_max: float | None = None,
                         use_pallas: bool | None = None,
                         level_index: jnp.ndarray | None = None,
-                        fractional_centers: bool | None = None
-                        ) -> DescriptorResult:
+                        fractional_centers: bool | None = None,
+                        z_view=None) -> DescriptorResult:
     """Descriptors for all keypoints of one pyramid level.
 
     coords i32[K,3] integer gather anchors, R f32[K,3,3]; sd is the level's
@@ -397,6 +415,8 @@ def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
             raise ValueError("sd_max is required when sd is per-keypoint")
         sd_max = float(sd)
     dims = level.shape if level_index is None else level.shape[1:]
+    if z_view is not None:
+        dims = (dims[0], dims[1], z_view[1])
     rad = _level_radius(sd_max, params)
     if fractional_centers is None:
         fractional_centers = centers is not None
@@ -415,7 +435,8 @@ def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
     if use_pallas:
         hists = _extract_pallas(level, coords, centers, R, sd_arr, units,
                                 extents, kp_chunk, params,
-                                level_index=level_index, valid=valid)
+                                level_index=level_index, valid=valid,
+                                z_view=z_view)
     else:
         lvl_arr = (jnp.zeros((K,), jnp.int32) if level_index is None
                    else level_index)
@@ -424,7 +445,8 @@ def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
             coord, center, Rk, sd_k, lv = args
             return _extract_one(
                 level, coord, center, Rk, sd_k, units, extents, vox_chunk,
-                params, lvl=(lv if level_index is not None else None))
+                params, lvl=(lv if level_index is not None else None),
+                z_view=z_view)
 
         hists = chunked_vmap(one, (coords, centers, R, sd_arr, lvl_arr),
                              kp_chunk)

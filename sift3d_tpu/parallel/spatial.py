@@ -189,6 +189,72 @@ def _sharded_detect_fn(plan: PyramidPlan, mesh: Mesh, axis: str):
     return run, keys, caps
 
 
+@functools.lru_cache(maxsize=16)
+def _desc_shard_fn(plan: PyramidPlan, octave: int, mesh: Mesh, axis: str,
+                   cap_shard: int, bucket: int):
+    """Descriptors for keypoints of one z-SHARDED octave via keypoint
+    resharding (SURVEY section 5): each keypoint routes to the shard
+    owning its window center; each shard extends its local z-slab with
+    ppermute'd neighbor slabs (halo exchange) and extracts its own
+    keypoints' windows locally — replacing the raw GSPMD window gathers
+    that all-gathered full levels.
+
+    Takes the full [L, nx, ny, local] octave stack (z-sharded), the
+    keypoint arrays replicated at `bucket` slots, and returns per-shard
+    [ndev, cap_shard] descriptor slots plus the slot->keypoint index map.
+    """
+    from ..descriptor import _level_radius, extract_descriptors
+    from ..detect import compact_flat
+    from ..windows import window_extent
+
+    params = plan.params
+    nl = params.num_kp_levels
+    units = plan.level_units(octave)
+    sd_max = float(plan.scales[octave][nl])
+    nz = plan.octave_dims[octave][2]
+    ndev = mesh.shape[axis]
+    local = nz // ndev
+    # One-sided halo: a window centered in [zlo, zlo+local) spans at most
+    # Gz voxels after global clipping, so Gz rows of each neighbor side
+    # always suffice (multi-hop ppermute when Gz > local).
+    Gz = window_extent(_level_radius(sd_max, params) / units[2], nz, 0)
+    hops = -(-Gz // local)
+
+    def f(gpyr_oct, coords, R, lvl, sd, valid):
+        levels = gpyr_oct[1:1 + nl]          # [nl, nx, ny, local]
+        s = jax.lax.axis_index(axis)
+        zlo = (s * local).astype(jnp.int32)
+        parts = []
+        for k in range(hops, 0, -1):         # left halo (from shard s-k)
+            parts.append(jax.lax.ppermute(
+                levels, axis, [(j, j + k) for j in range(ndev - k)]))
+        parts.append(levels)
+        for k in range(1, hops + 1):         # right halo (from shard s+k)
+            parts.append(jax.lax.ppermute(
+                levels, axis, [(j, j - k) for j in range(k, ndev)]))
+        ext = jnp.concatenate(parts, axis=-1)
+        off = hops * local - Gz
+        ext = jax.lax.slice_in_dim(ext, off, off + local + 2 * Gz, axis=3)
+
+        own = valid & (coords[:, 2] >= zlo) & (coords[:, 2] < zlo + local)
+        idx, lval, _ = compact_flat(own, cap_shard)
+        co = coords[idx]
+        res = extract_descriptors(
+            ext, co, R[idx], lval, sd[idx], octave, units, params,
+            centers=co.astype(jnp.float32), sd_max=sd_max,
+            level_index=lvl[idx], fractional_centers=False,
+            z_view=(zlo - Gz, nz))
+        return (res.desc[None], res.xyz[None], res.sd[None],
+                idx[None], lval[None])
+
+    spec_l = P(None, None, None, axis)
+    rep = P()
+    out = P(axis)
+    from ..pipeline import _shard_map
+    return jax.jit(_shard_map(
+        f, mesh, (spec_l, rep, rep, rep, rep, rep), (out,) * 5))
+
+
 class ShardedSIFT3D:
     """Detector for volumes sharded along z over a device mesh.
 
@@ -218,6 +284,7 @@ class ShardedSIFT3D:
         self._gpyr = None
         self._input_shape = None
         self._ext_proxy = None
+        self._shard_flags = None
 
     def detect_keypoints(self, vol):
         import warnings
@@ -238,6 +305,7 @@ class ShardedSIFT3D:
         gpyr, flags, per_level = run(data)
         self._plan, self._gpyr = plan, gpyr
         self._input_shape = vol.shape
+        self._shard_flags = flags
 
         ndev = self.mesh.shape[self.axis]
         counts = jax.device_get([c.count for c in per_level])
@@ -342,10 +410,81 @@ class ShardedSIFT3D:
         return kp
 
     def extract_descriptors(self, kp):
+        """Descriptors for the keypoints of a prior detect_keypoints.
+
+        Sharded octaves run the keypoint-resharding shard_map
+        (_desc_shard_fn: route keypoints to owning shards + halo-exchange
+        local slabs, no full-level all-gather); replicated small octaves
+        go through the standard single-device extractor."""
+        import numpy as np_
+
+        from ..keypoints import Descriptors
+        from ..params import DESC_NUMEL
         from ..pipeline import SIFT3D
+
         if self._ext_proxy is not None:
             return self._ext_proxy.extract_descriptors(kp)
-        proxy = SIFT3D(self.params, self.stale_strength_compat)
-        proxy._plan, proxy._gpyr = self._plan, self._gpyr
-        proxy._input_shape = self._input_shape
-        return proxy.extract_descriptors(kp)
+        plan = self._plan
+        flags = self._shard_flags or []
+        n = len(kp)
+        sharded_octs = sorted({int(o) for o in np_.unique(kp.octave)
+                               if int(o) < len(flags) and flags[int(o)]})
+
+        data = np_.zeros((n, DESC_NUMEL), np_.float32)
+        xyz = np_.zeros((n, 3), np_.float32)
+        sd_out = np_.zeros((n,), np_.float32)
+        done = np_.zeros((n,), bool)
+
+        ndev = self.mesh.shape[self.axis]
+        for o in sharded_octs:
+            idxs = np_.nonzero(kp.octave == o)[0]
+            cnt = len(idxs)
+            co_i = np_.rint(kp.coords[idxs]).astype(np_.int32)
+            local = plan.octave_dims[o][2] // ndev
+            owners = np_.clip(co_i[:, 2] // local, 0, ndev - 1)
+            per_shard = int(np_.bincount(owners, minlength=ndev).max())
+            cap_shard = max(8, 1 << (max(per_shard, 1) - 1).bit_length())
+            bucket = max(8, 1 << (cnt - 1).bit_length())
+            coords = np_.zeros((bucket, 3), np_.int32)
+            R = np_.tile(np_.eye(3, dtype=np_.float32), (bucket, 1, 1))
+            lvl = np_.zeros((bucket,), np_.int32)
+            sd = np_.full((bucket,), np_.float32(plan.scales[o][1]),
+                          np_.float32)
+            valid = np_.zeros((bucket,), bool)
+            coords[:cnt] = co_i
+            R[:cnt] = kp.R[idxs]
+            lvl[:cnt] = kp.level[idxs]
+            sd[:cnt] = kp.sd[idxs]
+            valid[:cnt] = True
+            run = _desc_shard_fn(plan, o, self.mesh, self.axis,
+                                 cap_shard, bucket)
+            desc_s, xyz_s, sd_s, idx_s, val_s = jax.device_get(
+                run(self._gpyr[o], jnp.asarray(coords), jnp.asarray(R),
+                    jnp.asarray(lvl), jnp.asarray(sd), jnp.asarray(valid)))
+            for s in range(ndev):
+                sel = np_.nonzero(val_s[s])[0]
+                jj = idxs[idx_s[s][sel]]
+                data[jj] = desc_s[s][sel]
+                xyz[jj] = xyz_s[s][sel]
+                sd_out[jj] = sd_s[s][sel]
+                done[jj] = True
+
+        rem = np_.nonzero(~done)[0]
+        if len(rem):
+            from ..keypoints import Keypoints
+            # strength is not read by descriptor extraction; pass zeros
+            # when stale-strength compat leaves it differently indexed.
+            sub = Keypoints(coords=kp.coords[rem], octave=kp.octave[rem],
+                            level=kp.level[rem], sd=kp.sd[rem],
+                            strength=(kp.strength[rem]
+                                      if len(kp.strength) == n
+                                      else np_.zeros(len(rem))),
+                            R=kp.R[rem])
+            proxy = SIFT3D(self.params, self.stale_strength_compat)
+            proxy._plan, proxy._gpyr = self._plan, self._gpyr
+            proxy._input_shape = self._input_shape
+            ds = proxy.extract_descriptors(sub)
+            data[rem] = ds.data
+            xyz[rem] = ds.xyz
+            sd_out[rem] = ds.sd
+        return Descriptors(xyz=xyz, sd=sd_out, data=data)

@@ -111,11 +111,13 @@ class DetectorParams:
     # pass in band-sparse diagonal form on the VPU (always f32-exact; the
     # precision knobs above do not apply to it; ~6x slower than composed
     # at 256^3 — XLA materializes the shifted reads — kept as the
-    # semantic reference); "pallas" = the fused 3-axis kernel
-    # (ops/blur_kernel.py, f32-exact, free DoG output) for octaves with
-    # nz >= 128, composed below that (opt-in: the chained program
-    # currently measures slower than composed end-to-end); "auto" =
-    # composed for now.
+    # semantic reference); "chain" = the chained aliased Pallas builder
+    # (ops/blur_kernel.chain_octave: every level + DoG written straight
+    # into two threaded HBM buffers, f32-exact, one volume read+write per
+    # level) for eligible octaves, exact-composed below; "pallas" = the
+    # per-level fused 3-axis kernel with jnp.stack'ed outputs (superseded
+    # by "chain"; kept for A/B measurement); "auto" = "chain" on a TPU
+    # backend, composed elsewhere.
     gpyr_impl: str = "auto"
     # Extrema stencil implementation: "auto" = the Pallas mask kernel
     # (ops/extrema_kernel.py) on TPU for octaves with nz % 128 == 0 and
@@ -173,10 +175,10 @@ class DetectorParams:
                 f"extrema_impl must be 'auto', 'xla', 'pallas' or "
                 f"'interpret', got {self.extrema_impl!r}")
         if self.gpyr_impl not in ("auto", "composed", "incremental",
-                                  "pallas"):
+                                  "pallas", "chain"):
             raise ValueError(
-                f"gpyr_impl must be 'auto', 'composed', 'incremental' or "
-                f"'pallas', got {self.gpyr_impl!r}")
+                f"gpyr_impl must be 'auto', 'composed', 'incremental', "
+                f"'pallas' or 'chain', got {self.gpyr_impl!r}")
 
     # --- derived pyramid structure (resize_SIFT3D, sift.c:434-435) ---
 

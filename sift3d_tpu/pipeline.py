@@ -250,7 +250,8 @@ _DENSE_OCTAVE_ACC = 64
 _DENSE_OCTAVE_CAND = 512
 
 
-def _hint_cfg(plan: PyramidPlan, hint: dict, params) -> tuple:
+def _hint_cfg(plan: PyramidPlan, hint: dict, params,
+              tight: bool = False) -> tuple:
     """Static per-octave (capacity, ori_slots, desc_slots) sizing for the
     fused hinted program, from the previous detection's per-octave
     (candidates, accepted, accepted_per_level, candidates_per_level)
@@ -259,8 +260,15 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params) -> tuple:
     small. Undershoot is never wrong: capacity overflow re-detects
     exactly, ori/desc overflow falls back to the exact per-segment path.
     ori_slots/desc_slots are ints (one mixed-level pass per octave) or
-    per-level tuples together (dense octaves; _DENSE_OCTAVE_*)."""
+    per-level tuples together (dense octaves; _DENSE_OCTAVE_*).
+
+    tight=True (a STABLE workload: the same counts observed on
+    consecutive detections, SIFT3D._hint_streak) shrinks the drift
+    headroom 25% -> ~3%: padding slots still pay window prep and payload
+    bytes, and a stable workload does not need the margin. A later miss
+    costs one exact-path fallback and resets the streak."""
     nl = params.num_kp_levels
+    hr = 5 if tight else 2           # headroom shift: c >> hr
     cfg = []
     for o in range(plan.num_octaves):
         total, acc, acc_l, cand_l = hint.get(
@@ -271,7 +279,9 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params) -> tuple:
             cap = max(128, 1 << max(2 * total - 1, 1).bit_length())
 
         def oslots(c):
-            s = min(cap, max(64, _mult_of(c + (c >> 2) + 1, 64)))
+            s = min(cap, max(32 if tight else 64,
+                             _mult_of(c + (c >> hr) + 1, 32 if tight
+                                      else 64)))
             if s > 256:
                 # keep compatible with orientation's internal chunking
                 # (chunked_vmap asserts slots % 256 == 0 above 256)
@@ -280,11 +290,11 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params) -> tuple:
 
         if acc >= _DENSE_OCTAVE_ACC or total >= _DENSE_OCTAVE_CAND:
             ospec = tuple(oslots(c) for c in cand_l)
-            dslots = tuple(max(8, _mult_of(a + (a >> 2) + 1, 8))
+            dslots = tuple(max(8, _mult_of(a + (a >> hr) + 1, 8))
                            for a in acc_l)
         else:
             ospec = oslots(total)
-            dslots = max(8, _mult_of(acc + (acc >> 2) + 1, 8))
+            dslots = max(8, _mult_of(acc + (acc >> hr) + 1, 8))
         cfg.append((cap, ospec, dslots))
     return tuple(cfg)
 
@@ -308,33 +318,12 @@ def _hint_fit(plan: PyramidPlan, cfg: tuple, counts, octs_host) -> bool:
     return True
 
 
-@functools.lru_cache(maxsize=64)
-def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batch: int = 0,
-                    vmapped: bool = False):
-    """The fully-fused hinted detection program: pyramid + DoG + extrema +
-    candidate compaction + mixed-level orientation + speculative descriptor
-    extraction for every octave in ONE jitted computation.
-
-    cfg[o] = (capacity, ori_slots, desc_slots), all sized from the previous
-    detection on this plan (see _hint_cfg). One dispatch and one
-    device->host transfer replace the per-stage dispatch chain — on a
-    high-latency link each extra dispatch/sync costs milliseconds, and XLA
-    can overlap the independent per-octave stages.
-
-    batch > 0 compiles the program for data[batch, nx, ny, nz] by
-    UNROLLING the single-volume body over the batch inside one jit —
-    not jax.vmap: the Pallas extrema + orientation kernels hand-DMA from
-    ANY-space refs and have no batching rule, and the vmapped XLA
-    fallbacks measured +75% device time per volume (tools/
-    batch_budget.py: 26.7 -> 46.5 ms/vol at 256^3, B=4). Unrolled, each
-    volume runs the exact single-volume program; outputs stack on a
-    leading batch axis (the same pytree the vmapped variant produced).
-
-    vmapped=True instead wraps the body in jax.vmap (XLA fallbacks for
-    the un-batchable kernels): for inputs SHARDED over a mesh batch
-    axis, vmap is the form GSPMD partitions cleanly — an unrolled
-    data[b] slice of a batch-sharded array would re-route every volume
-    through collectives."""
+def _detect_full_body(plan: PyramidPlan, cfg: tuple, vmapped: bool):
+    """The single-volume body of the fused hinted detection program (see
+    _detect_full_fn): pyramid + DoG + extrema + candidate compaction +
+    mixed-level orientation + speculative descriptor extraction for every
+    octave. vmapped=True selects the XLA fallbacks for the Pallas
+    kernels (which have no batching rule)."""
     from .detect import compact_flat, detect_extrema_octave
 
     params = plan.params
@@ -447,6 +436,35 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batch: int = 0,
         counts = jnp.stack([c.counts for c in cands])
         return gpyr, cands, counts, octs
 
+    return one
+
+
+@functools.lru_cache(maxsize=64)
+def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batch: int = 0,
+                    vmapped: bool = False):
+    """The fully-fused hinted detection program: one jitted computation
+    of the _detect_full_body pipeline.
+
+    cfg[o] = (capacity, ori_slots, desc_slots), all sized from the previous
+    detection on this plan (see _hint_cfg). One dispatch and one
+    device->host transfer replace the per-stage dispatch chain — on a
+    high-latency link each extra dispatch/sync costs milliseconds, and XLA
+    can overlap the independent per-octave stages.
+
+    batch > 0 compiles the program for data[batch, nx, ny, nz] by
+    UNROLLING the single-volume body over the batch inside one jit —
+    not jax.vmap: the Pallas extrema + orientation kernels hand-DMA from
+    ANY-space refs and have no batching rule, and the vmapped XLA
+    fallbacks measured +75% device time per volume (tools/
+    batch_budget.py: 26.7 -> 46.5 ms/vol at 256^3, B=4). Unrolled, each
+    volume runs the exact single-volume program; outputs stack on a
+    leading batch axis (the same pytree the vmapped variant produced).
+
+    vmapped=True instead wraps the body in jax.vmap (XLA fallbacks for
+    the un-batchable kernels): the GSPMD-partitionable form, kept for
+    sharded inputs that _detect_full_shardmap_fn cannot take (batch not
+    divisible by the mesh axis, unnamed shardings)."""
+    one = _detect_full_body(plan, cfg, vmapped)
     if batch == 0:
         return jax.jit(one)
     if vmapped:
@@ -458,6 +476,60 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batch: int = 0,
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
 
     return run_batch
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    from jax import shard_map
+    try:
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:   # older keyword name
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+@functools.lru_cache(maxsize=16)
+def _detect_full_shardmap_fn(plan: PyramidPlan, cfg: tuple, per: int,
+                             mesh, axis: str):
+    """Batched fused detection for a mesh-sharded batch: shard_map over
+    the batch axis whose BODY is the unrolled single-volume program with
+    the full Pallas kernels. The vmapped GSPMD form this replaces fell
+    back to the XLA stencils, measured +75% device time per volume
+    (26.7 -> 46.5 ms/vol at 256^3; tools/batch_budget.py) — under
+    shard_map each device runs the exact single-volume program on its
+    `per` local volumes. Outputs carry the same [B, ...] pytree layout
+    as the vmapped/unrolled forms, batch-sharded over `axis`."""
+    from jax.sharding import PartitionSpec
+
+    one = _detect_full_body(plan, cfg, vmapped=False)
+    spec = PartitionSpec(axis)
+
+    def local(data):                      # [per, nx, ny, nz] local shard
+        outs = [one(data[b]) for b in range(per)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+    return jax.jit(_shard_map(local, mesh, (spec,), spec))
+
+
+def _batch_shard_axis(sharding, B: int):
+    """(mesh, axis, per) when `sharding` shards ONLY the leading (batch)
+    dim over one named mesh axis that divides B — the layout
+    _detect_full_shardmap_fn supports — else None."""
+    from jax.sharding import NamedSharding
+    if not isinstance(sharding, NamedSharding):
+        return None
+    spec = tuple(sharding.spec)
+    if not spec or spec[0] is None or any(s is not None for s in spec[1:]):
+        return None
+    axis = spec[0]
+    if isinstance(axis, tuple):
+        if len(axis) != 1:
+            return None
+        axis = axis[0]
+    n = sharding.mesh.shape[axis]
+    if n < 2 or B % n:
+        return None
+    return sharding.mesh, axis, B // n
 
 
 @functools.lru_cache(maxsize=16)
@@ -562,6 +634,10 @@ class SIFT3D:
         # descriptor cache keyed by keypoint identity.
         self._hint: dict[int, tuple[int, int]] | None = None
         self._hint_plan = None
+        # Consecutive detections with IDENTICAL per-octave counts: at
+        # streak >= 2 the workload is stable and the fused program's slot
+        # headroom tightens (_hint_cfg tight=True).
+        self._hint_streak = 0
         self._spec_desc_cache: dict | None = None
         self._batch_desc_caches: list | None = None
 
@@ -582,7 +658,8 @@ class SIFT3D:
             # orientation, and descriptors, with every capacity sized from
             # the previous detection on this plan, then ONE device_get of a
             # kept-slots-only payload.
-            cfg = _hint_cfg(plan, hint, self.params)
+            cfg = _hint_cfg(plan, hint, self.params,
+                            tight=self._hint_streak >= 2)
             gpyr, cands, counts_dev, octs = \
                 _detect_full_fn(plan, cfg)(vol.data)
             self._plan, self._gpyr = plan, gpyr
@@ -592,6 +669,7 @@ class SIFT3D:
                 return self._assemble_hinted(plan, counts, octs_host)
             # Speculation missed (the workload drifted past the headroom):
             # re-run the exact path from the device-resident stores.
+            self._hint_streak = 0
             caps = {o: cfg[o][0] for o in range(plan.num_octaves)}
             per_oct = [(c, None) for c in cands]
             spec_oris = None
@@ -649,12 +727,17 @@ class SIFT3D:
             # candidates-per-level): they size the next detection's fused
             # hinted program.
             nl = self.params.num_kp_levels
-            self._hint = {
+            new_hint = {
                 o: (int(np.sum(counts[o])), int(np.sum(kp.octave == o)),
                     tuple(int(np.sum((kp.octave == o) & (kp.level == li)))
                           for li in range(nl)),
                     tuple(int(c) for c in counts[o]))
                 for o in range(plan.num_octaves)}
+            self._hint_streak = (
+                self._hint_streak + 1
+                if self._hint_plan == plan and new_hint == self._hint
+                else 0)
+            self._hint = new_hint
             self._hint_plan = plan
         return kp
 
@@ -723,6 +806,9 @@ class SIFT3D:
             hint[o] = (total_o, sum(acc_l), tuple(acc_l),
                        tuple(int(c) for c in counts[o]))
         self._spec_desc_cache = cache or None
+        self._hint_streak = (
+            self._hint_streak + 1
+            if self._hint_plan == plan and hint == self._hint else 0)
         self._hint = hint
         self._hint_plan = plan
 
@@ -754,19 +840,27 @@ class SIFT3D:
         any volume outgrew the hinted capacities (caller falls back to
         the exact per-volume path)."""
         B = vols.shape[0]
-        cfg = _hint_cfg(plan, hint, self.params)
+        cfg = _hint_cfg(plan, hint, self.params,
+                        tight=self._hint_streak >= 2)
         nvox = int(np.prod(vols.shape[1:]))
         sub = min(B, max(1, int(_BATCH_HBM_BUDGET // (nvox * 4 * 14))))
         while B % sub:  # one compiled sub-batch shape
             sub -= 1
-        # Mesh-sharded batches keep the vmapped form (GSPMD partitions it
-        # cleanly along the batch axis); single-device batches unroll the
-        # single-volume program (full Pallas kernels, measured -43%
-        # device time per volume — see _detect_full_fn).
+        # Mesh-sharded batches run shard_map over the batch axis with the
+        # UNROLLED single-volume body per device (full Pallas kernels;
+        # the vmapped GSPMD fallback costs +75% device time per volume).
+        # Single-device batches unroll inside one jit. Shardings the
+        # shard_map form cannot take (batch not divisible, unnamed
+        # sharding) keep the vmapped GSPMD form.
         sharded = (hasattr(vols, "sharding")
                    and len(vols.sharding.device_set) > 1)
         if sharded:
-            run = _detect_full_fn(plan, cfg, vmapped=True)
+            sm = _batch_shard_axis(vols.sharding, B)
+            if sm is not None:
+                mesh, axis, per = sm
+                run = _detect_full_shardmap_fn(plan, cfg, per, mesh, axis)
+            else:
+                run = _detect_full_fn(plan, cfg, vmapped=True)
             sub = B
         else:
             run = _detect_full_fn(plan, cfg, batch=sub)
@@ -786,7 +880,11 @@ class SIFT3D:
                    for od in octs_host] for b in range(B)]
         if not all(_hint_fit(plan, cfg, counts_b[b], octs_v[b])
                    for b in range(B)):
+            self._hint_streak = 0
             return None
+        # _assemble_hinted clobbers the streak per volume; snapshot the
+        # batch-level previous state and recompute from the batch hint.
+        prev_hint, prev_streak = self._hint, self._hint_streak
         out, caches, hints = [], [], []
         for b in range(B):
             out.append(self._assemble_hinted(plan, counts_b[b], octs_v[b]))
@@ -794,12 +892,15 @@ class SIFT3D:
             hints.append(self._hint)
         # The batch hint sizes the NEXT batch: per-octave max over volumes.
         nl = self.params.num_kp_levels
-        self._hint = {
+        new_hint = {
             o: (max(h[o][0] for h in hints),
                 max(h[o][1] for h in hints),
                 tuple(max(h[o][2][li] for h in hints) for li in range(nl)),
                 tuple(max(h[o][3][li] for h in hints) for li in range(nl)))
             for o in range(plan.num_octaves)}
+        self._hint_streak = (prev_streak + 1 if new_hint == prev_hint
+                             else 0)
+        self._hint = new_hint
         self._hint_plan = plan
         self._batch_desc_caches = caches
         self._spec_desc_cache = None
@@ -862,7 +963,7 @@ class SIFT3D:
             # Learn the batch hint (per-octave max over volumes): the next
             # batch on this plan runs the fused hinted program.
             nl = self.params.num_kp_levels
-            self._hint = {
+            new_hint = {
                 o: (max(int(np.sum(counts_b[b, o])) for b in range(B)),
                     max(int(np.sum(out[b].octave == o)) for b in range(B)),
                     tuple(max(int(np.sum((out[b].octave == o)
@@ -871,6 +972,11 @@ class SIFT3D:
                     tuple(max(int(counts_b[b, o, li]) for b in range(B))
                           for li in range(nl)))
                 for o in range(plan.num_octaves)}
+            self._hint_streak = (
+                self._hint_streak + 1
+                if self._hint_plan == plan and new_hint == self._hint
+                else 0)
+            self._hint = new_hint
             self._hint_plan = plan
         return out
 

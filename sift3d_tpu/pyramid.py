@@ -407,23 +407,50 @@ def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
                        interpret: bool = False):
     """(gpyr octaves, dog octaves) in one build.
 
-    With gpyr_impl "pallas" — or "auto" on a TPU backend — large octaves
-    run through the fused Pallas blur kernel (ops/blur_kernel.py), whose
-    second output IS the DoG level: each level costs one HBM round trip
-    and the separate DoG subtraction pass disappears. Small octaves and
-    every other impl use the composed/incremental builders plus
-    build_dog. Pass use_pallas=False from vmapped (batched) callers —
-    the kernel has no batching rule."""
+    With gpyr_impl "chain" — or "auto" on a TPU backend — large octaves
+    run through the chained aliased Pallas builder
+    (ops/blur_kernel.chain_octave): every level + DoG level written
+    directly into two threaded HBM buffers, one volume read + write per
+    level, no stacking, no input padding, float32-exact (the reference's
+    sequential per-level program order, build_gpyr, sift.c:662-711).
+    Small/ineligible octaves and every other impl use the composed /
+    incremental builders plus build_dog. Pass use_pallas=False from
+    vmapped (batched) callers — the kernels have no batching rule."""
     params = plan.params
     if use_pallas is None:
-        # "auto" currently resolves to composed: the isolated kernel beats
-        # a composed level (1.14 ms blur+dog vs ~1.5) but the CHAINED
-        # program measures 36.8 ms vs 8.7 composed at 256^3 — under
-        # investigation (tools/chain_probe) — so pallas stays opt-in.
-        use_pallas = params.gpyr_impl == "pallas"
-    if not use_pallas or params.gpyr_impl == "incremental":
+        # "auto" resolves to composed until the chain builder's hardware
+        # parity at bench scale is verified (tools/tpu_parity.py); flip
+        # here once it is.
+        use_pallas = params.gpyr_impl in ("pallas", "chain")
+    if not use_pallas or params.gpyr_impl in ("incremental", "composed"):
         gp = build_gpyr(vol, plan)
         return gp, build_dog(gp)
+
+    if params.gpyr_impl in ("chain", "auto"):
+        from .ops.blur_kernel import chain_eligible, chain_octave
+        L = plan.num_gpyr_levels
+        hi = (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+        gps, dogs = [], []
+        src_prev = vol      # previous octave's downsample source level
+        for o in range(plan.num_octaves):
+            if not chain_eligible(plan, o):
+                # Composed fallback (folds the downsample itself). The
+                # chain is f32-exact; force the fallback octaves exact
+                # too so the pyramid's precision stays uniform — they
+                # cost ~8^-o of octave 0.
+                oct_ = _build_octave_composed(
+                    src_prev, plan, o,
+                    [(0, L, hi)] if o >= 1 else _composed_groups(params, o))
+                gps.append(oct_)
+                dogs.append(oct_[:-1] - oct_[1:])
+            else:
+                src = (vol if o == 0
+                       else downsample_2x_matmul(src_prev))
+                gp, dg = chain_octave(src, plan, o, interpret)
+                gps.append(gp)
+                dogs.append(dg)
+            src_prev = gps[o][L - 3]
+        return gps, dogs
 
     from .ops.blur_kernel import blur3d_pallas
 

@@ -24,36 +24,52 @@ def window_extent(radius_vox: float, n: int, margin: int = 0) -> int:
 
 
 def gather_window(level: jnp.ndarray, coord: jnp.ndarray,
-                  extents: tuple[int, int, int]):
+                  extents: tuple[int, int, int], z_view=None):
     """Gather one [Gx, Gy, Gz] window centered (as much as possible) on
     coord from level [nx, ny, nz]. Returns (window, start i32[3]).
 
     The window is positioned so that the reference's loop range (clipped to
     [1, n-2]) plus the 1-voxel gradient border always lies inside it; near
-    edges the window shifts instead of shrinking (shapes stay static)."""
-    starts = []
+    edges the window shifts instead of shrinking (shapes stay static).
+
+    z_view=(origin, global_nz): `level` is a LOCAL z-slab of a larger
+    volume — slab index 0 sits at global z `origin` (possibly negative
+    for halo margins) and window placement clips against global_nz.
+    Coordinates and the returned start stay global (the spatial-sharding
+    halo-exchange descriptor path, parallel/spatial.py)."""
+    starts, slice_starts = [], []
     for a in range(3):
         n, G = level.shape[a], extents[a]
+        origin = 0
+        if a == 2 and z_view is not None:
+            origin, n = z_view
         half = (G - 1) // 2
         s = jnp.clip(coord[a] - half, 0, n - G)
         starts.append(s)
+        slice_starts.append(s - origin)
     start = jnp.stack(starts)
-    win = jax.lax.dynamic_slice(level, tuple(starts), extents)
+    win = jax.lax.dynamic_slice(level, tuple(slice_starts), extents)
     return win, start
 
 
 def gather_window_leveled(levels: jnp.ndarray, lvl: jnp.ndarray,
-                          coord: jnp.ndarray, extents):
+                          coord: jnp.ndarray, extents, z_view=None):
     """As gather_window, but from a stacked [L, nx, ny, nz] array at the
     per-candidate level index lvl."""
-    starts = []
+    starts, slice_starts = [], []
     for a in range(3):
         n, G = levels.shape[1 + a], extents[a]
+        origin = 0
+        if a == 2 and z_view is not None:
+            origin, n = z_view
         half = (G - 1) // 2
-        starts.append(jnp.clip(coord[a] - half, 0, n - G))
+        s = jnp.clip(coord[a] - half, 0, n - G)
+        starts.append(s)
+        slice_starts.append(s - origin)
     start = jnp.stack(starts)
     win = jax.lax.dynamic_slice(
-        levels, (lvl, starts[0], starts[1], starts[2]), (1,) + tuple(extents))
+        levels, (lvl, slice_starts[0], slice_starts[1], slice_starts[2]),
+        (1,) + tuple(extents))
     return win[0], start
 
 

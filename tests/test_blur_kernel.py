@@ -65,6 +65,66 @@ def test_blur_kernel_level_chain_matches_sequential():
     assert np.abs(np.asarray(dog0) - (ref[0] - ref[1])).max() / scale < 1e-6
 
 
+def test_chain_octave_matches_sequential():
+    """The chained aliased builder (interpret mode) matches the
+    reference-order sequential builder to f32 rounding: gpyr levels AND
+    the fused DoG outputs, octave 0 (blur-first) and octave 1 (copy-in
+    downsample)."""
+    from sift3d_tpu.ops.blur_kernel import chain_eligible, chain_octave
+    from sift3d_tpu.pyramid import (build_dog, build_gpyr_incremental,
+                                    downsample_2x_matmul)
+
+    params = DetectorParams()
+    dims = (256, 128, 128)   # octaves 0 and 1 eligible (nz 128)
+    plan = make_plan(dims, (1.0, 1.0, 1.0), params)
+    assert chain_eligible(plan, 0)
+    rng = np.random.default_rng(3)
+    vol = scale_to_unit(jnp.asarray(
+        rng.normal(size=dims).astype(np.float32)))
+    ref = build_gpyr_incremental(vol, plan)
+    ref_dog = build_dog(ref)
+
+    gp0, dog0 = chain_octave(vol, plan, 0, interpret=True)
+    scale = float(np.abs(np.asarray(ref[0])).max())
+    assert np.abs(np.asarray(gp0) - np.asarray(ref[0])).max() \
+        / scale < 1e-6
+    assert np.abs(np.asarray(dog0) - np.asarray(ref_dog[0])).max() \
+        / scale < 1e-6
+
+    if chain_eligible(plan, 1):
+        L = plan.num_gpyr_levels
+        src = downsample_2x_matmul(gp0[L - 3])
+        gp1, dog1 = chain_octave(src, plan, 1, interpret=True)
+        assert np.abs(np.asarray(gp1) - np.asarray(ref[1])).max() \
+            / scale < 1e-6
+        assert np.abs(np.asarray(dog1) - np.asarray(ref_dog[1])).max() \
+            / scale < 1e-6
+
+
+def test_build_gpyr_and_dog_chain_matches_composed():
+    """gpyr_impl='chain' through build_gpyr_and_dog (interpret mode),
+    including the exact-composed fallback octaves, matches the sequential
+    reference within chain-accumulated f32 rounding."""
+    from sift3d_tpu.pyramid import (build_dog, build_gpyr_incremental,
+                                    build_gpyr_and_dog)
+
+    params = DetectorParams(gpyr_impl="chain")
+    dims = (128, 128, 128)
+    plan = make_plan(dims, (1.0, 1.0, 1.0), params)
+    rng = np.random.default_rng(4)
+    vol = scale_to_unit(jnp.asarray(
+        rng.normal(size=dims).astype(np.float32)))
+    ref = build_gpyr_incremental(vol, plan)
+    ref_dog = build_dog(ref)
+    gp, dog = build_gpyr_and_dog(vol, plan, use_pallas=True, interpret=True)
+    for o in range(plan.num_octaves):
+        a, b = np.asarray(ref[o]), np.asarray(gp[o])
+        scale = np.abs(a).max()
+        assert np.abs(a - b).max() / scale < 2e-6, o
+        a, b = np.asarray(ref_dog[o]), np.asarray(dog[o])
+        assert np.abs(a - b).max() / scale < 2e-6, o
+
+
 def test_build_gpyr_and_dog_pallas_matches_composed():
     """The pallas-fused builder (interpret mode) matches the composed
     builder's pyramid and DoG to f32 tolerance, including the composed

@@ -190,3 +190,107 @@ def test_sharded_detector_extensions_match_single_device():
     ref = det1.extract_descriptors(kp1)
     got = det2.extract_descriptors(kp2)
     assert np.abs(ref.data - got.data).max() < 1e-4
+
+
+def test_shard_map_batch_matches_unsharded(monkeypatch):
+    """The mesh-sharded hinted batch path (shard_map whose body is the
+    UNROLLED single-volume fused program) must produce exactly the
+    outputs of the single-device detect_keypoints_batch path."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import sift3d_tpu.pipeline as plmod
+    from sift3d_tpu.parallel import make_mesh
+    from sift3d_tpu.pipeline import SIFT3D
+
+    B = 8
+    vols = np.stack([make_phantom(32, nblobs=8, seed=100 + b)
+                     for b in range(B)]).astype(np.float32)
+
+    det_ref = SIFT3D()
+    det_ref.detect_keypoints_batch(vols)          # learn the hint
+    kps_ref = det_ref.detect_keypoints_batch(vols)   # hinted unrolled path
+    ds_ref = det_ref.extract_descriptors_batch(kps_ref)
+    assert sum(len(k) for k in kps_ref) > 0
+
+    mesh = make_mesh({"b": 8})
+    sharding = NamedSharding(mesh, P("b"))
+    vols_sh = jax.device_put(jnp.asarray(vols), sharding)
+
+    det = SIFT3D()
+    det.detect_keypoints_batch(vols_sh)           # learn the hint
+    called = {}
+    orig = plmod._detect_full_shardmap_fn
+
+    def spy(*args):
+        called["used"] = True
+        return orig(*args)
+
+    monkeypatch.setattr(plmod, "_detect_full_shardmap_fn", spy)
+    kps = det.detect_keypoints_batch(vols_sh)     # hinted shard_map path
+    ds = det.extract_descriptors_batch(kps)
+    assert called.get("used"), "shard_map batch path was not taken"
+
+    for b in range(B):
+        np.testing.assert_array_equal(kps[b].coords, kps_ref[b].coords)
+        np.testing.assert_array_equal(kps[b].octave, kps_ref[b].octave)
+        np.testing.assert_array_equal(kps[b].level, kps_ref[b].level)
+        np.testing.assert_array_equal(kps[b].strength, kps_ref[b].strength)
+        np.testing.assert_array_equal(kps[b].R, kps_ref[b].R)
+        np.testing.assert_array_equal(ds[b].data, ds_ref[b].data)
+        np.testing.assert_array_equal(ds[b].xyz, ds_ref[b].xyz)
+
+
+def test_sharded_descriptors_reshard_keypoints(monkeypatch):
+    """The sharded-octave descriptor stage must (a) route through the
+    keypoint-resharding shard_map, (b) communicate via collective-permute
+    halo slabs only — no all-gather of full levels — and (c) match the
+    single-device descriptors."""
+    import sift3d_tpu as s3d
+    import sift3d_tpu.parallel.spatial as sp
+    from sift3d_tpu.parallel import make_mesh
+    from sift3d_tpu.parallel.spatial import ShardedSIFT3D
+
+    vol = make_phantom(64)
+    det1 = s3d.SIFT3D()
+    kp1 = det1.detect_keypoints(vol)
+    ref = det1.extract_descriptors(kp1)
+
+    mesh = make_mesh({"z": 4}, jax.devices()[:4])
+    det2 = ShardedSIFT3D(mesh=mesh)
+    kp2 = det2.detect_keypoints(vol)
+    assert len(kp2) == len(kp1)
+    assert any(det2._shard_flags), "no octave sharded; test is vacuous"
+
+    used = {}
+    orig = sp._desc_shard_fn
+
+    def spy(*args):
+        fn = orig(*args)
+        used["fn"] = (fn, args)
+        return fn
+
+    monkeypatch.setattr(sp, "_desc_shard_fn", spy)
+    got = det2.extract_descriptors(kp2)
+    assert "fn" in used, "keypoint-resharding path was not taken"
+    # z-sharded pyramid rounding differs at float precision
+    assert np.abs(ref.data - got.data).max() < 1e-4
+    np.testing.assert_allclose(ref.xyz, got.xyz, atol=1e-3)
+    np.testing.assert_allclose(ref.sd, got.sd, atol=1e-5)
+
+    # The communication pattern must be halo ppermutes, not full-level
+    # all-gathers: check the compiled HLO of the shard_map program.
+    fn, args = used["fn"]
+    plan, octave = args[0], args[1]
+    import jax.numpy as jnp
+    L = plan.params.num_gpyr_levels
+    nx, ny, nz = plan.octave_dims[octave]
+    bucket, cap = args[5], args[4]
+    shapes = (jnp.zeros((L, nx, ny, nz), jnp.float32),
+              jnp.zeros((bucket, 3), jnp.int32),
+              jnp.zeros((bucket, 3, 3), jnp.float32),
+              jnp.zeros((bucket,), jnp.int32),
+              jnp.zeros((bucket,), jnp.float32),
+              jnp.zeros((bucket,), bool))
+    hlo = fn.lower(*shapes).compile().as_text()
+    assert "all-gather" not in hlo, "descriptor stage all-gathers"
