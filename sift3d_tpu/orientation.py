@@ -46,7 +46,7 @@ class OrientationResult(NamedTuple):
 
 
 def _window_moments(level, coord, center, sd, units, extents,
-                    params: DetectorParams, lvl=None):
+                    params: DetectorParams, lvl=None, z_view=None):
     """Structure tensor A[3,3] and mean gradient [3] for one keypoint.
 
     coord: i32[3] gather anchor; center: f32[3] true (possibly fractional)
@@ -56,9 +56,10 @@ def _window_moments(level, coord, center, sd, units, extents,
     sigma = jnp.float32(params.ori_sig_fctr) * sd
     rad = sigma * jnp.float32(params.ori_rad_fctr)
     if lvl is None:
-        win, start = gather_window(level, coord, extents)
+        win, start = gather_window(level, coord, extents, z_view=z_view)
     else:
-        win, start = gather_window_leveled(level, lvl, coord, extents)
+        win, start = gather_window_leveled(level, lvl, coord, extents,
+                                           z_view=z_view)
         level = level[0]  # only the 3-D dims are used below
 
     ux, uy, uz = (np.float32(u) for u in units)
@@ -77,7 +78,8 @@ def _window_moments(level, coord, center, sd, units, extents,
 
     # Reference loop bounds (sift.c:91-99), computed in f32 like the C code.
     cx, cy, cz = center[0], center[1], center[2]
-    n = level.shape
+    n = (level.shape if z_view is None
+         else (level.shape[0], level.shape[1], z_view[1]))
     mask = jnp.ones(X.shape, dtype=bool)
     for a, (c, u, I) in enumerate(
             zip((cx, cy, cz), (ux, uy, uz), (X, Y, Z))):
@@ -180,8 +182,8 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
                         sd_max: float | None = None,
                         level_index: jnp.ndarray | None = None,
                         fractional_centers: bool | None = None,
-                        use_pallas: bool | None = None
-                        ) -> OrientationResult:
+                        use_pallas: bool | None = None,
+                        z_view=None) -> OrientationResult:
     """Batched orientation assignment for all keypoints of one pyramid level.
 
     coords: i32[K, 3] integer gather anchors. centers: optional f32[K, 3]
@@ -195,6 +197,8 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
             raise ValueError("sd_max is required when sd is per-keypoint")
         sd_max = float(sd)
     dims = level.shape if level_index is None else level.shape[1:]
+    if z_view is not None:
+        dims = (dims[0], dims[1], z_view[1])
     rad_max = params.ori_sig_fctr * sd_max * params.ori_rad_fctr
     # slack when centers can be fractional (refined offsets are clamped to
     # one voxel around the integer anchor, +1 for the gradient border)
@@ -211,7 +215,7 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
               else jnp.asarray(sd, jnp.float32))
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu" and z_view is None
     if use_pallas and K % 8 == 0:
         from .ops.ori_kernel import ori_moments_pallas
         levels = level[None] if level_index is None else level
@@ -224,13 +228,14 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
     elif level_index is None:
         A, vd_win = chunked_vmap(
             lambda args: _window_moments(level, args[0], args[1], args[2],
-                                         units, extents, params),
+                                         units, extents, params,
+                                         z_view=z_view),
             (coords, centers, sd_arr), chunk)
     else:
         A, vd_win = chunked_vmap(
             lambda args: _window_moments(level, args[0], args[1], args[2],
                                          units, extents, params,
-                                         lvl=args[3]),
+                                         lvl=args[3], z_view=z_view),
             (coords, centers, sd_arr, level_index), chunk)
 
     # Batched symmetric eigendecomposition, ascending eigenvalues (same

@@ -153,18 +153,86 @@ def detect_extrema_level_sharded(prev, cur, next_, params: DetectorParams,
     return LevelCandidates(coords, strength, valid, count)
 
 
-@functools.lru_cache(maxsize=8)
-def _sharded_detect_fn(plan: PyramidPlan, mesh: Mesh, axis: str):
+def _sharded_keys_caps(plan: PyramidPlan):
     params = plan.params
-    ndev = mesh.shape[axis]
     keys = [(o, i) for o in range(plan.num_octaves)
             for i in range(1, params.num_dog_levels - 1)]
     caps = {}
     for o, i in keys:
         nvox = int(np.prod(plan.octave_dims[o]))
-        cap = (params.kp_per_level if params.kp_per_level
-               else default_capacity(nvox))
-        caps[(o, i)] = cap
+        caps[(o, i)] = (params.kp_per_level if params.kp_per_level
+                        else default_capacity(nvox))
+    return keys, caps
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_detect_fused_fn(plan: PyramidPlan, mesh: Mesh, axis: str,
+                             ocfg: tuple):
+    """The HINTED fused sharded detection: pyramid + extrema +
+    orientation for every level in ONE jit, with per-level orientation
+    slots sized from the previous detection's counts (ocfg[idx]; 0 skips
+    a level that had no candidates). Sharded levels run orientation
+    through the _ori_shard_map halo-exchange body (per-shard slot
+    prefix); replicated levels orient their flat slot prefix in place.
+    One dispatch + one device_get replace the
+    detect -> counts-sync -> orient -> results-sync chain."""
+    from ..orientation import assign_orientations
+
+    params = plan.params
+    ndev = mesh.shape[axis]
+    keys, caps = _sharded_keys_caps(plan)
+
+    @jax.jit
+    def run(data):
+        x = scale_to_unit(data)
+        gpyr, flags = build_gpyr_sharded(x, plan, mesh, axis)
+        counts, payload, cands = [], [], []
+        for idx, (o, i) in enumerate(keys):
+            d_prev = gpyr[o][i - 1] - gpyr[o][i]
+            d_cur = gpyr[o][i] - gpyr[o][i + 1]
+            d_next = gpyr[o][i + 1] - gpyr[o][i + 2]
+            slots = ocfg[idx]
+            if flags[o]:
+                cap_l = -(-caps[(o, i)] // ndev)
+                cand = detect_extrema_level_sharded(
+                    d_prev, d_cur, d_next, params, cap_l, mesh, axis)
+                counts.append(cand.count)            # [ndev]
+                if slots:
+                    co = cand.coords[:, :slots]
+                    st = cand.strength[:, :slots]
+                    va = cand.valid[:, :slots]
+                    ori = _ori_shard_map(plan, o, i, mesh, axis)(
+                        gpyr[o][i], co, va)
+                    payload.append((co, st, ori))
+                else:
+                    payload.append(None)
+            else:
+                from ..detect import detect_extrema_level
+                cand = detect_extrema_level(d_prev, d_cur, d_next, params,
+                                            caps[(o, i)])
+                counts.append(cand.count)            # scalar
+                if slots:
+                    co = cand.coords[:slots]
+                    st = cand.strength[:slots]
+                    va = cand.valid[:slots]
+                    ori = assign_orientations(
+                        gpyr[o][i], co, va,
+                        float(plan.scales[o][i]), plan.level_units(o),
+                        params, chunk=slots)
+                    payload.append((co, st, ori))
+                else:
+                    payload.append(None)
+            cands.append(cand)
+        return gpyr, counts, payload, cands
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_detect_fn(plan: PyramidPlan, mesh: Mesh, axis: str):
+    params = plan.params
+    ndev = mesh.shape[axis]
+    keys, caps = _sharded_keys_caps(plan)
 
     @jax.jit
     def run(data):
@@ -187,6 +255,68 @@ def _sharded_detect_fn(plan: PyramidPlan, mesh: Mesh, axis: str):
         return gpyr, flags, out
 
     return run, keys, caps
+
+
+def _z_extend(x, mesh_axis: str, ndev: int, halo: int, local: int):
+    """Extend a z-local slab [..., local] with `halo` rows of global
+    neighbor data on each side via (multi-hop) ppermute ring exchanges;
+    out-of-volume margins are zeros (never read: window placement clips
+    to the global volume)."""
+    hops = -(-halo // local)
+    parts = []
+    for k in range(hops, 0, -1):          # left halo (from shard s-k)
+        parts.append(jax.lax.ppermute(
+            x, mesh_axis, [(j, j + k) for j in range(ndev - k)]))
+    parts.append(x)
+    for k in range(1, hops + 1):          # right halo (from shard s+k)
+        parts.append(jax.lax.ppermute(
+            x, mesh_axis, [(j, j - k) for j in range(k, ndev)]))
+    ext = jnp.concatenate(parts, axis=-1)
+    off = hops * local - halo
+    return jax.lax.slice_in_dim(ext, off, off + local + 2 * halo,
+                                axis=ext.ndim - 1)
+
+
+def _ori_shard_map(plan: PyramidPlan, octave: int, dog_idx: int,
+                   mesh: Mesh, axis: str):
+    """shard_map callable: orientation for the per-shard candidates of
+    one SHARDED level. Candidates are already local to the shard that
+    found them, so each shard halo-exchanges ori-radius rows of its
+    level slab and computes its own candidates' windows locally — no
+    GSPMD all-gather of the level."""
+    from ..orientation import assign_orientations
+    from ..windows import window_extent
+
+    params = plan.params
+    units = plan.level_units(octave)
+    sd = plan.scales[octave][dog_idx]
+    nz = plan.octave_dims[octave][2]
+    ndev = mesh.shape[axis]
+    local = nz // ndev
+    rad = params.ori_sig_fctr * sd * params.ori_rad_fctr
+    Gz = window_extent(rad / units[2], nz, 0)
+
+    def f(level, coords, valid):
+        # level [nx, ny, local]; coords [1, cap, 3]; valid [1, cap]
+        s = jax.lax.axis_index(axis)
+        zlo = (s * local).astype(jnp.int32)
+        ext = _z_extend(level, axis, ndev, Gz, local)
+        ori = assign_orientations(
+            ext, coords[0], valid[0], float(sd), units, params,
+            z_view=(zlo - Gz, nz))
+        return jax.tree_util.tree_map(lambda x: x[None], ori)
+
+    from ..pipeline import _shard_map
+    return _shard_map(f, mesh, (P(None, None, axis), P(axis), P(axis)),
+                      P(axis))
+
+
+@functools.lru_cache(maxsize=64)
+def _ori_shard_fn(plan: PyramidPlan, octave: int, dog_idx: int, mesh: Mesh,
+                  axis: str, cap: int):
+    """One jitted dispatch of _ori_shard_map (cap is only a cache key:
+    the callable specializes on the store shapes at trace time)."""
+    return jax.jit(_ori_shard_map(plan, octave, dog_idx, mesh, axis))
 
 
 @functools.lru_cache(maxsize=16)
@@ -218,23 +348,12 @@ def _desc_shard_fn(plan: PyramidPlan, octave: int, mesh: Mesh, axis: str,
     # Gz voxels after global clipping, so Gz rows of each neighbor side
     # always suffice (multi-hop ppermute when Gz > local).
     Gz = window_extent(_level_radius(sd_max, params) / units[2], nz, 0)
-    hops = -(-Gz // local)
 
     def f(gpyr_oct, coords, R, lvl, sd, valid):
         levels = gpyr_oct[1:1 + nl]          # [nl, nx, ny, local]
         s = jax.lax.axis_index(axis)
         zlo = (s * local).astype(jnp.int32)
-        parts = []
-        for k in range(hops, 0, -1):         # left halo (from shard s-k)
-            parts.append(jax.lax.ppermute(
-                levels, axis, [(j, j + k) for j in range(ndev - k)]))
-        parts.append(levels)
-        for k in range(1, hops + 1):         # right halo (from shard s+k)
-            parts.append(jax.lax.ppermute(
-                levels, axis, [(j, j - k) for j in range(k, ndev)]))
-        ext = jnp.concatenate(parts, axis=-1)
-        off = hops * local - Gz
-        ext = jax.lax.slice_in_dim(ext, off, off + local + 2 * Gz, axis=3)
+        ext = _z_extend(levels, axis, ndev, Gz, local)
 
         own = valid & (coords[:, 2] >= zlo) & (coords[:, 2] < zlo + local)
         idx, lval, _ = compact_flat(own, cap_shard)
@@ -285,6 +404,10 @@ class ShardedSIFT3D:
         self._input_shape = None
         self._ext_proxy = None
         self._shard_flags = None
+        # Per-(octave, dog level) max per-shard candidate count of the
+        # last detection: sizes the fused hinted program's ori slots.
+        self._sh_hint = None
+        self._sh_hint_plan = None
 
     def detect_keypoints(self, vol):
         import warnings
@@ -299,78 +422,168 @@ class ShardedSIFT3D:
             return self._detect_gspmd(vol)
         self._ext_proxy = None
         plan = make_plan(vol.shape, vol.units, self.params)
-        run, keys, caps = _sharded_detect_fn(plan, self.mesh, self.axis)
+        ndev = self.mesh.shape[self.axis]
         data = jax.device_put(
             vol.data, NamedSharding(self.mesh, P(None, None, self.axis)))
-        gpyr, flags, per_level = run(data)
-        self._plan, self._gpyr = plan, gpyr
-        self._input_shape = vol.shape
-        self._shard_flags = flags
 
-        ndev = self.mesh.shape[self.axis]
-        counts = jax.device_get([c.count for c in per_level])
+        hint = (self._sh_hint
+                if getattr(self, "_sh_hint_plan", None) == plan else None)
+        pending = []   # ("sh", (o,i), cnt, host payload | None)
+                       # ("rep", (o,i), c, host payload | None)
+        fetch = []     # device payloads for entries with None
 
-        pending = []
-        for (o, i), cand, cnt in zip(keys, per_level, counts):
+        if hint is not None:
+            # Fused hinted program: pyramid + extrema + orientation in
+            # ONE dispatch, slots sized from the previous detection;
+            # levels whose counts outgrew their slots redo exactly below.
+            keys, caps = _sharded_keys_caps(plan)
+            flags = [octave_is_sharded(plan, o, ndev)
+                     for o in range(plan.num_octaves)]
+            ocfg = []
+            for (o, i) in keys:
+                h = int(hint.get((o, i), 0))
+                cap = (-(-caps[(o, i)] // ndev) if flags[o]
+                       else caps[(o, i)])
+                ocfg.append(0 if h == 0 else
+                            min(cap, max(8, -(-(h + (h >> 2) + 1) // 8)
+                                         * 8)))
+            run = _sharded_detect_fused_fn(plan, self.mesh, self.axis,
+                                           tuple(ocfg))
+            gpyr, counts_dev, payload, cands = run(data)
+            self._plan, self._gpyr = plan, gpyr
+            self._input_shape = vol.shape
+            self._shard_flags = flags
+            counts, host_p = jax.device_get((counts_dev, payload))
+            counts = [np.atleast_1d(c) for c in counts]
+            for idx, (o, i) in enumerate(keys):
+                cnt, slots = counts[idx], ocfg[idx]
+                cand = cands[idx]
+                if flags[o]:
+                    cap_l = -(-caps[(o, i)] // ndev)
+                    if np.any(cnt > cap_l):
+                        warnings.warn(
+                            f"keypoint capacity overflow at octave {o} "
+                            f"level {i - 1}")
+                    cnt = np.minimum(cnt, cap_l)
+                    if int(cnt.sum()) == 0:
+                        continue
+                    if slots and int(cnt.max()) <= slots:
+                        pending.append(("sh", (o, i), cnt, host_p[idx]))
+                    else:   # hint missed: exact redo for this level
+                        ori = _ori_shard_fn(
+                            plan, o, i, self.mesh, self.axis, cap_l)(
+                            gpyr[o][i], cand.coords, cand.valid)
+                        pending.append(("sh", (o, i), cnt, None))
+                        fetch.append((cand.coords, cand.strength, ori))
+                else:
+                    c = int(cnt[0])
+                    if c > caps[(o, i)]:
+                        warnings.warn(
+                            f"keypoint capacity overflow at octave {o} "
+                            f"level {i - 1}")
+                        c = caps[(o, i)]
+                    if c == 0:
+                        continue
+                    if slots and c <= slots:
+                        pending.append(("rep", (o, i), c, host_p[idx]))
+                    else:
+                        b = _bucket(c, cand.coords.shape[0])
+                        valid = jnp.arange(b) < c
+                        co = cand.coords[:b]
+                        ori = _orient_fn(plan, o, i, b)(
+                            gpyr[o][i], co, valid)
+                        pending.append(("rep", (o, i), c, None))
+                        fetch.append((co, cand.strength[:b], ori))
+        else:
+            run, keys, caps = _sharded_detect_fn(plan, self.mesh,
+                                                 self.axis)
+            gpyr, flags, per_level = run(data)
+            self._plan, self._gpyr = plan, gpyr
+            self._input_shape = vol.shape
+            self._shard_flags = flags
+            counts = jax.device_get([c.count for c in per_level])
+
+            # Orientation dispatches: sharded levels run ONE shard_map
+            # per level (_ori_shard_fn: candidates stay on the shard that
+            # found them, the level slab halo-exchanges ori-radius rows —
+            # no GSPMD all-gather); replicated levels keep the bucketed
+            # single-device dispatch. Results come back in one get.
+            for (o, i), cand, cnt in zip(keys, per_level, counts):
+                cnt = np.atleast_1d(cnt)
+                if cnt.shape[0] > 1:
+                    cap_l = cand.coords.shape[1]
+                    if np.any(cnt > cap_l):
+                        warnings.warn(
+                            f"keypoint capacity overflow at octave {o} "
+                            f"level {i - 1}")
+                    if int(cnt.sum()) == 0:
+                        continue
+                    ori = _ori_shard_fn(plan, o, i, self.mesh, self.axis,
+                                        cap_l)(gpyr[o][i], cand.coords,
+                                               cand.valid)
+                    pending.append(("sh", (o, i), np.minimum(cnt, cap_l),
+                                    None))
+                    fetch.append((cand.coords, cand.strength, ori))
+                else:
+                    c = int(cnt[0])
+                    if c > caps[(o, i)]:
+                        warnings.warn(
+                            f"keypoint capacity overflow at octave {o} "
+                            f"level {i - 1}")
+                        c = caps[(o, i)]
+                    if c > 0:
+                        b = _bucket(c, cand.coords.shape[0])
+                        valid = jnp.arange(b) < c
+                        co = cand.coords[:b]
+                        ori = _orient_fn(plan, o, i, b)(gpyr[o][i], co,
+                                                        valid)
+                        pending.append(("rep", (o, i), c, None))
+                        fetch.append((co, cand.strength[:b], ori))
+
+        # Learn the per-level hint (sharded: max per-shard count).
+        self._sh_hint = {}
+        for (o, i), cnt in zip(keys, counts):
             cnt = np.atleast_1d(cnt)
-            sharded = cnt.shape[0] > 1
-            if sharded:
-                # flatten shard-major: shard order == global (z,y,x) order
-                cap_l = cand.coords.shape[1]
-                over = cnt > cap_l
-                if np.any(over):
-                    warnings.warn(
-                        f"keypoint capacity overflow at octave {o} level "
-                        f"{i - 1}")
-                pieces = [(s, int(min(cnt[s], cap_l))) for s in range(ndev)
-                          if cnt[s] > 0]
-                for s, c in pieces:
-                    pending.append(((o, i), cand, s, c))
-            else:
-                c = int(cnt[0])
-                if c > caps[(o, i)]:
-                    warnings.warn(
-                        f"keypoint capacity overflow at octave {o} level "
-                        f"{i - 1}")
-                    c = caps[(o, i)]
-                if c > 0:
-                    pending.append(((o, i), cand, None, c))
+            self._sh_hint[(o, i)] = int(cnt.max())
+        self._sh_hint_plan = plan
 
-        # Per-(level,shard) candidate slices in global candidate order.
-        coords_l, strength_l, meta = [], [], []
-        for (o, i), cand, s, c in pending:
-            if s is None:
-                co, st = cand.coords, cand.strength
-            else:
-                co, st = cand.coords[s], cand.strength[s]
-            b = _bucket(c, co.shape[0])
-            coords_l.append(co[:b])
-            strength_l.append(st[:b])
-            meta.append(((o, i), c, b))
-
-        if not coords_l:
+        if not pending:
             return Keypoints(
                 coords=np.zeros((0, 3)), octave=np.zeros(0, np.int32),
                 level=np.zeros(0, np.int32), sd=np.zeros(0),
                 strength=np.zeros(0), R=np.zeros((0, 3, 3), np.float32))
 
-        # Orientation per slice (async dispatch), then one batched get.
-        oris = []
-        for ((o, i), c, b), co in zip(meta, coords_l):
-            valid = jnp.arange(b) < c
-            oris.append(_orient_fn(plan, o, i, b)(gpyr[o][i], co, valid))
-        host = jax.device_get(list(zip(coords_l, strength_l, oris)))
+        host_fetch = jax.device_get(fetch) if fetch else []
 
         out_c, out_s, out_acc, out_R, out_o, out_l, out_sd = \
             [], [], [], [], [], [], []
-        for ((o, i), c, b), (co, st, ori) in zip(meta, host):
-            out_c.append(co[:c])
-            out_s.append(st[:c])
-            out_acc.append(ori.accepted[:c])
-            out_R.append(ori.R[:c])
+
+        def emit(o, i, co, st, acc, R_):
+            c = len(co)
+            out_c.append(co)
+            out_s.append(st)
+            out_acc.append(acc)
+            out_R.append(R_)
             out_o.append(np.full(c, o, np.int32))
             out_l.append(np.full(c, i - 1, np.int32))
             out_sd.append(np.full(c, plan.scales[o][i], np.float64))
+
+        fi = 0
+        for kind, (o, i), cnt, payload in pending:
+            if payload is None:
+                payload = host_fetch[fi]
+                fi += 1
+            co, st, ori = payload
+            if kind == "sh":
+                # shard-major emission == global (z,y,x) candidate order
+                for s in range(ndev):
+                    c = int(cnt[s])
+                    if c:
+                        emit(o, i, co[s][:c], st[s][:c],
+                             ori.accepted[s][:c], ori.R[s][:c])
+            else:
+                c = int(cnt)
+                emit(o, i, co[:c], st[:c], ori.accepted[:c], ori.R[:c])
 
         coords = np.concatenate(out_c).astype(np.float64)
         strength = np.concatenate(out_s).astype(np.float64)

@@ -114,10 +114,10 @@ class DetectorParams:
     # semantic reference); "chain" = the chained aliased Pallas builder
     # (ops/blur_kernel.chain_octave: every level + DoG written straight
     # into two threaded HBM buffers, f32-exact, one volume read+write per
-    # level) for eligible octaves, exact-composed below; "pallas" = the
-    # per-level fused 3-axis kernel with jnp.stack'ed outputs (superseded
-    # by "chain"; kept for A/B measurement); "auto" = "chain" on a TPU
-    # backend, composed elsewhere.
+    # level) for eligible octaves, exact-composed below (a superseded
+    # per-level stacked variant measured 10.3 vs 7.5 ms and was removed);
+    # "auto" = "chain" on a TPU backend once hardware parity is pinned,
+    # composed meanwhile (see pyramid.build_gpyr_and_dog).
     gpyr_impl: str = "auto"
     # Extrema stencil implementation: "auto" = the Pallas mask kernel
     # (ops/extrema_kernel.py) on TPU for octaves with nz % 128 == 0 and
@@ -175,10 +175,10 @@ class DetectorParams:
                 f"extrema_impl must be 'auto', 'xla', 'pallas' or "
                 f"'interpret', got {self.extrema_impl!r}")
         if self.gpyr_impl not in ("auto", "composed", "incremental",
-                                  "pallas", "chain"):
+                                  "chain"):
             raise ValueError(
-                f"gpyr_impl must be 'auto', 'composed', 'incremental', "
-                f"'pallas' or 'chain', got {self.gpyr_impl!r}")
+                f"gpyr_impl must be 'auto', 'composed', 'incremental' or "
+                f"'chain', got {self.gpyr_impl!r}")
 
     # --- derived pyramid structure (resize_SIFT3D, sift.c:434-435) ---
 

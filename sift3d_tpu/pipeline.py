@@ -478,6 +478,45 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batch: int = 0,
     return run_batch
 
 
+@functools.lru_cache(maxsize=64)
+def _detect_full_packed_fn(plan: PyramidPlan, cfg: tuple):
+    """The single-volume fused hinted program with its host-bound octs
+    payload PACKED into one uint8 buffer on device (bitcast + concat).
+
+    The payload pytree has ~56 small leaves; fetched individually, each
+    leaf is a separate transfer message on the tunnel link. One packed
+    buffer makes the device_get exactly two transfers (counts + bytes);
+    the host unpacks with zero-copy np.frombuffer views. Returns
+    (jitted fn, unpack metadata)."""
+    one = _detect_full_body(plan, cfg, vmapped=False)
+    meta_box = {}
+
+    def run(data):
+        gpyr, cands, counts, octs = one(data)
+        leaves, treedef = jax.tree_util.tree_flatten(octs)
+        meta_box["meta"] = (treedef,
+                            [(l.dtype, l.shape) for l in leaves])
+        parts = [jax.lax.bitcast_convert_type(l, jnp.uint8).reshape(-1)
+                 for l in leaves]
+        return gpyr, cands, counts, jnp.concatenate(parts)
+
+    fn = jax.jit(run)
+    jax.eval_shape(fn, jax.ShapeDtypeStruct(plan.input_dims, jnp.float32))
+    return fn, meta_box["meta"]
+
+
+def _unpack_payload(buf: np.ndarray, meta):
+    treedef, specs = meta
+    raw = buf.tobytes()
+    out, off = [], 0
+    for dtype, shape in specs:
+        n = int(np.prod(shape))
+        out.append(np.frombuffer(raw, dtype=np.dtype(dtype), count=n,
+                                 offset=off).reshape(shape))
+        off += n * np.dtype(dtype).itemsize
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _shard_map(f, mesh, in_specs, out_specs):
     from jax import shard_map
     try:
@@ -660,11 +699,12 @@ class SIFT3D:
             # kept-slots-only payload.
             cfg = _hint_cfg(plan, hint, self.params,
                             tight=self._hint_streak >= 2)
-            gpyr, cands, counts_dev, octs = \
-                _detect_full_fn(plan, cfg)(vol.data)
+            run_p, meta = _detect_full_packed_fn(plan, cfg)
+            gpyr, cands, counts_dev, packed = run_p(vol.data)
             self._plan, self._gpyr = plan, gpyr
             self._input_shape = vol.shape
-            counts, octs_host = jax.device_get((counts_dev, octs))
+            counts, buf = jax.device_get((counts_dev, packed))
+            octs_host = _unpack_payload(buf, meta)
             if _hint_fit(plan, cfg, counts, octs_host):
                 return self._assemble_hinted(plan, counts, octs_host)
             # Speculation missed (the workload drifted past the headroom):

@@ -344,7 +344,7 @@ def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
     params = plan.params
     if params.gpyr_impl == "incremental":
         return build_gpyr_incremental(vol, plan)
-    # "pallas"/"auto" resolve to the composed operators here: the fused
+    # "chain"/"auto" resolve to the composed operators here: the chained
     # kernel's benefit is its free DoG output, so only build_gpyr_and_dog
     # routes to it.
     L = plan.num_gpyr_levels
@@ -395,13 +395,6 @@ def _build_octave_composed(src: jnp.ndarray, plan: PyramidPlan, o: int,
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
-# The fused Pallas blur kernel rolls along the lane (z) axis; Mosaic's
-# layout inference crashes for lane extents below one full 128-lane tile,
-# so octaves with nz < 128 stay on the composed path (they are ~2% of the
-# pyramid cost at bench scale).
-_PALLAS_MIN_LANES = 128
-
-
 def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
                        use_pallas: bool | None = None,
                        interpret: bool = False):
@@ -418,75 +411,42 @@ def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
     vmapped (batched) callers — the kernels have no batching rule."""
     params = plan.params
     if use_pallas is None:
-        # "auto" resolves to composed until the chain builder's hardware
-        # parity at bench scale is verified (tools/tpu_parity.py); flip
-        # here once it is.
-        use_pallas = params.gpyr_impl in ("pallas", "chain")
+        # "auto" = chain on TPU: hardware parity at bench scale verified
+        # (tools/tpu_parity.py 256 sparse AND dense, gpyr_impl=chain:
+        # keypoint rows EXACT incl. the stale-strength column at 8.9e-8 —
+        # the composed default's one dense misattribution disappears —
+        # descriptors 100% within 1%, worst 2.1e-3), at the same device
+        # cost as composed (7.53 vs 7.46 ms gpyr+DoG, tools/chain_full).
+        use_pallas = (params.gpyr_impl == "chain"
+                      or (params.gpyr_impl == "auto"
+                          and jax.default_backend() == "tpu"))
     if not use_pallas or params.gpyr_impl in ("incremental", "composed"):
         gp = build_gpyr(vol, plan)
         return gp, build_dog(gp)
 
-    if params.gpyr_impl in ("chain", "auto"):
-        from .ops.blur_kernel import chain_eligible, chain_octave
-        L = plan.num_gpyr_levels
-        hi = (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
-        gps, dogs = [], []
-        src_prev = vol      # previous octave's downsample source level
-        for o in range(plan.num_octaves):
-            if not chain_eligible(plan, o):
-                # Composed fallback (folds the downsample itself). The
-                # chain is f32-exact; force the fallback octaves exact
-                # too so the pyramid's precision stays uniform — they
-                # cost ~8^-o of octave 0.
-                oct_ = _build_octave_composed(
-                    src_prev, plan, o,
-                    [(0, L, hi)] if o >= 1 else _composed_groups(params, o))
-                gps.append(oct_)
-                dogs.append(oct_[:-1] - oct_[1:])
-            else:
-                src = (vol if o == 0
-                       else downsample_2x_matmul(src_prev))
-                gp, dg = chain_octave(src, plan, o, interpret)
-                gps.append(gp)
-                dogs.append(dg)
-            src_prev = gps[o][L - 3]
-        return gps, dogs
-
-    from .ops.blur_kernel import blur3d_pallas
-
+    from .ops.blur_kernel import chain_eligible, chain_octave
     L = plan.num_gpyr_levels
+    hi = (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
     gps, dogs = [], []
-    src = vol            # next octave's source level, kept UNstacked:
-    # slicing a [L, n, n, n] stack re-reads a full level through a copy.
+    src_prev = vol      # previous octave's downsample source level
     for o in range(plan.num_octaves):
-        dims = plan.octave_dims[o]
-        if dims[2] < _PALLAS_MIN_LANES:
-            # composed operators fold the downsample themselves
-            oct_ = _build_octave_composed(src, plan, o,
-                                          _composed_groups(params, o))
+        if not chain_eligible(plan, o):
+            # Composed fallback (folds the downsample itself). The
+            # chain is f32-exact; force the fallback octaves exact
+            # too so the pyramid's precision stays uniform — they
+            # cost ~8^-o of octave 0.
+            oct_ = _build_octave_composed(
+                src_prev, plan, o,
+                [(0, L, hi)] if o >= 1 else _composed_groups(params, o))
             gps.append(oct_)
             dogs.append(oct_[:-1] - oct_[1:])
-            src = oct_[L - 3]
-            continue
-        levels = []
-        dgs = []
-        if o == 0:
-            first, _ = blur3d_pallas(
-                src, plan.conv_diags(0, plan.first_taps), interpret)
         else:
-            # stride-2 selection as three exact 0/1 matmuls: the direct
-            # strided slice is a lane-dim gather, far slower on TPU
-            first = downsample_2x_matmul(src)
-        levels.append(first)
-        for i in range(1, L):
-            nxt, dg = blur3d_pallas(
-                levels[-1], plan.conv_diags(o, plan.level_taps[i]),
-                interpret)
-            levels.append(nxt)
-            dgs.append(dg)
-        gps.append(jnp.stack(levels))
-        dogs.append(jnp.stack(dgs))
-        src = levels[L - 3]
+            src = (vol if o == 0
+                   else downsample_2x_matmul(src_prev))
+            gp, dg = chain_octave(src, plan, o, interpret)
+            gps.append(gp)
+            dogs.append(dg)
+        src_prev = gps[o][L - 3]
     return gps, dogs
 
 

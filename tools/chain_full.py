@@ -1,6 +1,6 @@
 """Device-time A/B of the gpyr+DoG builders at bench scale: composed
-(gpyr_impl="composed"), old stacked pallas ("pallas"), and the chained
-aliased builder ("chain"). Also checks DoG parity chain vs composed.
+(gpyr_impl="composed") vs the chained aliased builder ("chain").
+Also checks DoG parity chain vs composed.
 
 Usage: python -u tools/chain_full.py [size]
 """
@@ -38,7 +38,7 @@ def main():
         return fn, plan
 
     outs = {}
-    for impl in ("composed", "chain", "pallas"):
+    for impl in ("composed", "chain"):
         fn, plan = full(impl)
         t = device_time(jax.jit(fn), (vol,), k1=1, k2=5)
         print(f"gpyr+dog {impl:10s}: {t*1e3:8.2f} ms", flush=True)

@@ -1,5 +1,6 @@
-"""Split the hinted detect+extract wall time into dispatch / transfer /
-host phases on the real device.
+"""Split the hinted detect+extract wall time into RTT / dispatch /
+transfer / host phases on the real device, using the PACKED fused
+program (the shipping path).
 
 Usage: python -u tools/e2e_split.py [size]
 """
@@ -20,40 +21,52 @@ def main():
     from bench import make_bench_volume
     import sift3d_tpu as s3d
     from sift3d_tpu.volume import Volume
-    from sift3d_tpu.pipeline import _detect_full_fn, _hint_cfg
+    from sift3d_tpu.pipeline import (_detect_full_packed_fn, _hint_cfg,
+                                     _unpack_payload)
     from sift3d_tpu.pyramid import make_plan
 
     vol = Volume.from_array(make_bench_volume(n))
     jax.device_get(jnp.sum(vol.data))
 
+    # RTT floor: dependent scalar of a cached trivial program.
+    tiny = jax.jit(lambda x: jnp.sum(x[:2, :2, :2]) * 1.0000001)
+    jax.device_get(tiny(vol.data))
+    rtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.device_get(tiny(vol.data))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    print(f"RTT floor (scalar get): min {min(rtts):.2f} "
+          f"median {sorted(rtts)[3]:.2f} ms", flush=True)
+
     det = s3d.SIFT3D()
     kp = det.detect_keypoints(vol)       # learn hint
     det.extract_descriptors(kp)
-    kp = det.detect_keypoints(vol)       # compile fused program
-    det.extract_descriptors(kp)
+    for _ in range(3):                   # reach the tight-slot program
+        kp = det.detect_keypoints(vol)
+        det.extract_descriptors(kp)
 
     plan = make_plan(vol.shape, vol.units, det.params)
-    hint = det._hint
-    cfg = _hint_cfg(plan, hint, det.params)
-    print(f"cfg (cap, ori_slots, desc_slots) per octave: {list(cfg)}",
-          flush=True)
-    run = _detect_full_fn(plan, cfg)
+    cfg = _hint_cfg(plan, det._hint, det.params,
+                    tight=det._hint_streak >= 2)
+    print(f"tight={det._hint_streak >= 2}  cfg (cap, ori, desc) per "
+          f"octave: {list(cfg)}", flush=True)
+    run, meta = _detect_full_packed_fn(plan, cfg)
 
-    # payload size estimate
     for _ in range(5):
         t0 = time.perf_counter()
-        gpyr, cands, counts_dev, octs = run(vol.data)
+        gpyr, cands, counts_dev, packed = run(vol.data)
         t1 = time.perf_counter()
-        counts, octs_host = jax.device_get((counts_dev, octs))
+        counts, buf = jax.device_get((counts_dev, packed))
         t2 = time.perf_counter()
-        print(f"dispatch {1e3 * (t1 - t0):7.2f} ms   "
-              f"get {1e3 * (t2 - t1):7.2f} ms", flush=True)
+        octs_host = _unpack_payload(buf, meta)
+        t3 = time.perf_counter()
+        print(f"dispatch {1e3 * (t1 - t0):6.2f} ms   "
+              f"get {1e3 * (t2 - t1):6.2f} ms   "
+              f"unpack {1e3 * (t3 - t2):6.2f} ms", flush=True)
+    print(f"payload: {buf.nbytes / 1e3:.0f} kB "
+          f"(+{np.asarray(counts).nbytes} B counts)", flush=True)
 
-    nbytes = sum(np.asarray(x).nbytes
-                 for x in jax.tree_util.tree_leaves((counts, octs_host)))
-    print(f"payload: {nbytes / 1e3:.0f} kB", flush=True)
-
-    # full pipeline wall, for reference
     for _ in range(3):
         t0 = time.perf_counter()
         kp = det.detect_keypoints(vol)

@@ -1,5 +1,5 @@
 """gpyr-impl parity at bench scale: full detect+extract with the composed
-matmul pyramid vs the fused Pallas blur chain on the same volume; reports
+matmul pyramid vs the chained aliased Pallas builder on the same volume; reports
 keypoint set agreement, descriptor rel-L2, and latency.
 
 Usage: python tools/gpyr_parity.py [size]
@@ -45,7 +45,7 @@ def main():
     kp_a, ds_a, ms_a = run(s3d.SIFT3D(s3d.DetectorParams(
         gpyr_impl="composed")), vol)
     kp_b, ds_b, ms_b = run(s3d.SIFT3D(s3d.DetectorParams(
-        gpyr_impl="pallas")), vol)
+        gpyr_impl="chain")), vol)
 
     print(f"composed: {ms_a:.2f} ms, {len(kp_a)} keypoints", flush=True)
     print(f"pallas:   {ms_b:.2f} ms, {len(kp_b)} keypoints", flush=True)
