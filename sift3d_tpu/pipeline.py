@@ -478,43 +478,89 @@ def _detect_full_fn(plan: PyramidPlan, cfg: tuple, batch: int = 0,
     return run_batch
 
 
+_DESC_LEAF_KEYS = ("desc_q", "desc_scale")
+
+
+def _is_desc_path(path) -> bool:
+    return any(getattr(k, "key", None) in _DESC_LEAF_KEYS for k in path)
+
+
 @functools.lru_cache(maxsize=64)
 def _detect_full_packed_fn(plan: PyramidPlan, cfg: tuple):
     """The single-volume fused hinted program with its host-bound octs
-    payload PACKED into one uint8 buffer on device (bitcast + concat).
+    payload PACKED into two uint8 buffers on device (bitcast + concat).
 
     The payload pytree has ~56 small leaves; fetched individually, each
-    leaf is a separate transfer message on the tunnel link. One packed
-    buffer makes the device_get exactly two transfers (counts + bytes);
-    the host unpacks with zero-copy np.frombuffer views. Returns
+    leaf is a separate transfer message on the tunnel link. Packing
+    makes the device_get a handful of transfers, and SPLITTING the
+    descriptor bytes (desc_q/desc_scale — ~90% of the payload) into
+    their own buffer lets the caller start that transfer asynchronously
+    and overlap it with the keypoint assembly on the host. Returns
     (jitted fn, unpack metadata)."""
     one = _detect_full_body(plan, cfg, vmapped=False)
     meta_box = {}
 
     def run(data):
         gpyr, cands, counts, octs = one(data)
-        leaves, treedef = jax.tree_util.tree_flatten(octs)
+        pl_, treedef = jax.tree_util.tree_flatten_with_path(octs)
+        paths = [p for p, _ in pl_]
+        leaves = [l for _, l in pl_]
+        flags = [_is_desc_path(p) for p in paths]
         meta_box["meta"] = (treedef,
-                            [(l.dtype, l.shape) for l in leaves])
-        parts = [jax.lax.bitcast_convert_type(l, jnp.uint8).reshape(-1)
-                 for l in leaves]
-        return gpyr, cands, counts, jnp.concatenate(parts)
+                            [(l.dtype, l.shape) for l in leaves],
+                            flags, paths)
+
+        def pack(ls):
+            if not ls:
+                return jnp.zeros((0,), jnp.uint8)
+            return jnp.concatenate(
+                [jax.lax.bitcast_convert_type(l, jnp.uint8).reshape(-1)
+                 for l in ls])
+
+        kp_buf = pack([l for l, f in zip(leaves, flags) if not f])
+        desc_buf = pack([l for l, f in zip(leaves, flags) if f])
+        return gpyr, cands, counts, kp_buf, desc_buf
 
     fn = jax.jit(run)
     jax.eval_shape(fn, jax.ShapeDtypeStruct(plan.input_dims, jnp.float32))
     return fn, meta_box["meta"]
 
 
-def _unpack_payload(buf: np.ndarray, meta):
-    treedef, specs = meta
-    raw = buf.tobytes()
+def _unpack_buf(raw: bytes, specs):
     out, off = [], 0
     for dtype, shape in specs:
         n = int(np.prod(shape))
         out.append(np.frombuffer(raw, dtype=np.dtype(dtype), count=n,
                                  offset=off).reshape(shape))
         off += n * np.dtype(dtype).itemsize
-    return jax.tree_util.tree_unflatten(treedef, out)
+    return out
+
+def _unpack_payload(kp_buf: np.ndarray, meta):
+    """Rebuild the octs pytree from the keypoint buffer; descriptor
+    leaves are None until _fill_desc supplies them."""
+    treedef, specs, flags, _paths = meta
+    kp_leaves = _unpack_buf(
+        kp_buf.tobytes(), [s for s, f in zip(specs, flags) if not f])
+    leaves, it = [], iter(kp_leaves)
+    for f in flags:
+        leaves.append(None if f else next(it))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _fill_desc(octs, desc_buf: np.ndarray, meta) -> None:
+    """Write the descriptor leaves (second buffer) into the unpacked octs
+    pytree in place (their parents are dicts; paths address them)."""
+    treedef, specs, flags, paths = meta
+    arrays = _unpack_buf(desc_buf.tobytes(),
+                         [s for s, f in zip(specs, flags) if f])
+    it = iter(arrays)
+    for path, f in zip(paths, flags):
+        if not f:
+            continue
+        obj = octs
+        for k in path[:-1]:
+            obj = obj[k.key] if hasattr(k, "key") else obj[k.idx]
+        obj[path[-1].key] = next(it)
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -700,13 +746,24 @@ class SIFT3D:
             cfg = _hint_cfg(plan, hint, self.params,
                             tight=self._hint_streak >= 2)
             run_p, meta = _detect_full_packed_fn(plan, cfg)
-            gpyr, cands, counts_dev, packed = run_p(vol.data)
+            gpyr, cands, counts_dev, kp_buf, desc_buf = run_p(vol.data)
             self._plan, self._gpyr = plan, gpyr
             self._input_shape = vol.shape
-            counts, buf = jax.device_get((counts_dev, packed))
-            octs_host = _unpack_payload(buf, meta)
+            # Queue the transfers in consumption order (the link drains
+            # FIFO): counts + keypoint bytes first — the host can start
+            # assembling on them — then the large descriptor buffer,
+            # which streams while _assemble_hinted runs and is consumed
+            # last.
+            counts_dev.copy_to_host_async()
+            kp_buf.copy_to_host_async()
+            desc_buf.copy_to_host_async()
+            counts, kb = jax.device_get((counts_dev, kp_buf))
+            octs_host = _unpack_payload(kb, meta)
             if _hint_fit(plan, cfg, counts, octs_host):
-                return self._assemble_hinted(plan, counts, octs_host)
+                return self._assemble_hinted(
+                    plan, counts, octs_host,
+                    desc_fetch=lambda: _fill_desc(
+                        octs_host, np.asarray(desc_buf), meta))
             # Speculation missed (the workload drifted past the headroom):
             # re-run the exact path from the device-resident stores.
             self._hint_streak = 0
@@ -781,20 +838,27 @@ class SIFT3D:
             self._hint_plan = plan
         return kp
 
-    def _assemble_hinted(self, plan, counts, octs) -> Keypoints:
+    def _assemble_hinted(self, plan, counts, octs,
+                         desc_fetch=None) -> Keypoints:
         """Assembly for the fused hinted program when speculation covered
         every octave: the payload already holds exactly the accepted
         keypoints (in the reference's candidate order) and their
         descriptors; build the keypoint list, the rejection funnel, and the
-        descriptor cache with no further device work."""
+        descriptor cache with no further device work.
+
+        desc_fetch: optional callable filling the descriptor leaves of
+        `octs` in place, called AFTER the keypoint assembly — the
+        descriptor bytes (~90% of the payload) then stream over the link
+        while the host assembles keypoints."""
         nl = self.params.num_kp_levels
         self._funnel = {}
         cache = {}
         hint = {}
+        jobs = []    # deferred descriptor-cache rows: (o, k, lv, co, dref)
         coords_l, lvl_l, oct_l, R_l, sd_l, st_true, stale = \
             [], [], [], [], [], [], []
 
-        def add(o, k, co, lv, R, st, desc_q, dscale, xyz, sd_v, scales):
+        def add(o, k, co, lv, R, st, scales, dref):
             coords_l.append(co)
             lvl_l.append(lv)
             oct_l.append(np.full(k, o, np.int32))
@@ -802,12 +866,7 @@ class SIFT3D:
             sd_l.append(scales[lv])
             st_true.append(st)
             if k:
-                desc = (desc_q.astype(np.float32)
-                        * (dscale[:, None] / np.float32(65535.0)))
-                for j in range(k):
-                    key = (o, int(lv[j]), float(co[j, 0]), float(co[j, 1]),
-                           float(co[j, 2]))
-                    cache[key] = (desc[j], xyz[j], sd_v[j])
+                jobs.append((o, k, lv, co, dref))
 
         def funnel_add(o, li, f):
             c = int(counts[o][li])
@@ -831,20 +890,29 @@ class SIFT3D:
                     acc_l.append(k)
                     add(o, k, ld["coords"][:k],
                         np.full(k, li, np.int32), ld["R"][:k],
-                        ld["strength_true"][:k], ld["desc_q"][:k],
-                        ld["desc_scale"][:k], ld["xyz"], ld["sd"], scales)
+                        ld["strength_true"][:k], scales, ld)
                     funnel_add(o, li, ld["funnel"])
             else:
                 k = int(od["acc_count"])
                 lv = od["level"][:k]
                 add(o, k, od["coords"][:k], lv, od["R"][:k],
-                    od["strength_true"][:k], od["desc_q"][:k],
-                    od["desc_scale"][:k], od["xyz"], od["sd"], scales)
+                    od["strength_true"][:k], scales, od)
                 acc_l = [int(np.sum(lv == li)) for li in range(nl)]
                 for li in range(nl):
                     funnel_add(o, li, od["funnel"][li])
             hint[o] = (total_o, sum(acc_l), tuple(acc_l),
                        tuple(int(c) for c in counts[o]))
+
+        if desc_fetch is not None:
+            desc_fetch()
+        for o, k, lv, co, dref in jobs:
+            desc = (dref["desc_q"][:k].astype(np.float32)
+                    * (dref["desc_scale"][:k][:, None]
+                       / np.float32(65535.0)))
+            for j in range(k):
+                key = (o, int(lv[j]), float(co[j, 0]), float(co[j, 1]),
+                       float(co[j, 2]))
+                cache[key] = (desc[j], dref["xyz"][j], dref["sd"][j])
         self._spec_desc_cache = cache or None
         self._hint_streak = (
             self._hint_streak + 1

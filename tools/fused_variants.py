@@ -26,7 +26,8 @@ def main():
     from sift3d_tpu.detect import compact_flat, detect_extrema_octave
     from sift3d_tpu.orientation import assign_orientations
     from sift3d_tpu.pipeline import _hint_cfg
-    from sift3d_tpu.pyramid import build_gpyr, make_plan, scale_to_unit
+    from sift3d_tpu.pyramid import build_gpyr_and_dog, make_plan, \
+        scale_to_unit
     from sift3d_tpu.volume import Volume
 
     vol = Volume.from_array(
@@ -34,9 +35,11 @@ def main():
     jax.device_get(jnp.sum(vol.data))
 
     det = s3d.SIFT3D()
-    det.detect_keypoints(vol)  # learn hint
+    for _ in range(4):         # learn hint, reach the tight-slot config
+        det.detect_keypoints(vol)
     plan = make_plan(vol.shape, vol.units, det.params)
-    cfg = _hint_cfg(plan, det._hint, det.params)
+    cfg = _hint_cfg(plan, det._hint, det.params,
+                    tight=det._hint_streak >= 2)
     params = det.params
     nl = params.num_kp_levels
     print(f"cfg: {list(cfg)}", flush=True)
@@ -44,10 +47,10 @@ def main():
     def make(with_ori, with_desc):
         def run(data):
             x = scale_to_unit(data)
-            gpyr = build_gpyr(x, plan)
+            gpyr, dogs = build_gpyr_and_dog(x, plan)
             acc = jnp.float32(0)
             for o, (cap, ospec, dslots) in enumerate(cfg):
-                dog_oct = gpyr[o][:-1] - gpyr[o][1:]
+                dog_oct = dogs[o]
                 cand = detect_extrema_octave(dog_oct, params, cap)
                 acc += jnp.sum(cand.counts) + jnp.sum(cand.strength)
                 if not with_ori:
