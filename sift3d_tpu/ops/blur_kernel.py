@@ -319,8 +319,10 @@ def chain_eligible(plan, octave: int) -> bool:
     """True if the chained builder supports this octave (every level's
     tiles exist); else the caller falls back to the composed builder."""
     dims = plan.octave_dims[octave]
-    if dims[2] < 128:
-        # Mosaic lane-dim constraints below one full 128-lane tile.
+    if dims[2] % 128:
+        # Mosaic requires the DMA'd slab's lane (z) extent be a whole
+        # number of 128-lane tiles (192^3 measured: "Slice shape along
+        # dimension 2 must be aligned to tiling (128)").
         return False
     L = plan.num_gpyr_levels
     diag_sets = [plan.conv_diags(octave, plan.level_taps[i])

@@ -92,7 +92,14 @@ def detect_extrema_level_sharded(prev, cur, next_, params: DetectorParams,
                                  cap_per_shard: int, mesh: Mesh, axis: str):
     """Sharded extrema detection on one DoG level triple; returns per-shard
     candidate stores stacked on a leading shard axis [ndev, cap_per_shard]
-    whose concatenation is the exact global (z,y,x) candidate order."""
+    whose concatenation is the exact global (z,y,x) candidate order.
+
+    The stencil here is the XLA shifted-slice form, not the Pallas
+    extrema kernel: the kernel requires the lane (z) extent to be a
+    whole number of 128-lane tiles, and a shard's halo-extended slab
+    (local + 2) never is. The two stencils produce identical candidate
+    sets (tests/test_detect.py), so this is a per-level device-time
+    trade only, on slabs 1/ndev the size of the level."""
     from ..detect import _CUBE_OFFSETS, _FACE_OFFSETS
 
     ndev = mesh.shape[axis]
