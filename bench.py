@@ -157,7 +157,7 @@ def main(argv=None) -> int:
     # The tunneled device's RTT varies +-50% between runs; the metric is a
     # latency floor, so take min over enough repeats to see through the
     # network noise (each repeat costs ~0.1 s).
-    ap.add_argument("--repeats", type=int, default=7)
+    ap.add_argument("--repeats", type=int, default=15)
     ap.add_argument("--dense", action="store_true",
                     help="dense phantom (~1000 keypoints at 256^3)")
     ap.add_argument("--skip-oracle", action="store_true")

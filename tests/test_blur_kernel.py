@@ -53,7 +53,7 @@ def test_chain_octave_anisotropic_units():
     from sift3d_tpu.pyramid import build_gpyr_incremental
 
     params = DetectorParams()
-    dims = (96, 128, 160)
+    dims = (96, 128, 128)     # nz a whole number of 128-lane tiles
     units = (1.0, 1.0, 2.5)   # thick-slice MRI
     plan = make_plan(dims, units, params)
     assert chain_eligible(plan, 0)
