@@ -276,7 +276,12 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params,
         if params.kp_per_level:
             cap = nl * params.kp_per_level
         else:
-            cap = max(128, 1 << max(2 * total - 1, 1).bit_length())
+            # Candidate-store capacity: compaction slot resolution and
+            # the store transfers scale with it, so a stable workload
+            # runs ~1.13x the observed count instead of 2x (overflow
+            # re-detects the octave exactly either way).
+            head = total + (total >> 3) if tight else 2 * total - 1
+            cap = max(128, 1 << max(head, 1).bit_length())
 
         def oslots(c):
             s = min(cap, max(32 if tight else 64,
