@@ -277,9 +277,12 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params,
             cap = nl * params.kp_per_level
         else:
             # Candidate-store capacity: compaction slot resolution and
-            # the store transfers scale with it, so a stable workload
-            # runs ~1.13x the observed count instead of 2x (overflow
-            # re-detects the octave exactly either way).
+            # the store transfers scale with it (measured ~4 ms of the
+            # sparse bench at the 2x sizing), so a stable workload runs
+            # the next power of two above ~1.13x the observed count
+            # instead of 2x (overflow re-detects the octave exactly
+            # either way; non-pow2 multiples-of-64 measured noisier/
+            # slower — keep capacities powers of two).
             head = total + (total >> 3) if tight else 2 * total - 1
             cap = max(128, 1 << max(head, 1).bit_length())
 
