@@ -21,8 +21,8 @@ def main():
     from bench import make_bench_volume
     import sift3d_tpu as s3d
     from sift3d_tpu.volume import Volume
-    from sift3d_tpu.pipeline import (_detect_full_packed_fn, _hint_cfg,
-                                     _unpack_payload)
+    from sift3d_tpu.pipeline import (_detect_full_packed_fn, _fill_desc,
+                                     _hint_cfg, _unpack_payload)
     from sift3d_tpu.pyramid import make_plan
 
     vol = Volume.from_array(make_bench_volume(n))
@@ -55,16 +55,26 @@ def main():
 
     for _ in range(5):
         t0 = time.perf_counter()
-        gpyr, cands, counts_dev, packed = run(vol.data)
+        gpyr, cands, counts_dev, kp_buf, desc_buf = run(vol.data)
         t1 = time.perf_counter()
-        counts, buf = jax.device_get((counts_dev, packed))
+        counts_dev.copy_to_host_async()
+        kp_buf.copy_to_host_async()
+        desc_buf.copy_to_host_async()
+        counts, kb = jax.device_get((counts_dev, kp_buf))
         t2 = time.perf_counter()
-        octs_host = _unpack_payload(buf, meta)
+        octs_host = _unpack_payload(kb, meta)
         t3 = time.perf_counter()
+        db = np.asarray(desc_buf)
+        t4 = time.perf_counter()
+        _fill_desc(octs_host, db, meta)
+        t5 = time.perf_counter()
         print(f"dispatch {1e3 * (t1 - t0):6.2f} ms   "
-              f"get {1e3 * (t2 - t1):6.2f} ms   "
-              f"unpack {1e3 * (t3 - t2):6.2f} ms", flush=True)
-    print(f"payload: {buf.nbytes / 1e3:.0f} kB "
+              f"kp get {1e3 * (t2 - t1):6.2f} ms   "
+              f"unpack {1e3 * (t3 - t2):6.2f} ms   "
+              f"desc get {1e3 * (t4 - t3):6.2f} ms   "
+              f"fill {1e3 * (t5 - t4):6.2f} ms", flush=True)
+    print(f"payload: kp {kb.nbytes / 1e3:.0f} kB + desc "
+          f"{db.nbytes / 1e3:.0f} kB "
           f"(+{np.asarray(counts).nbytes} B counts)", flush=True)
 
     for _ in range(3):
