@@ -201,3 +201,21 @@ def test_register_batch_matches_single():
         assert rb.num_matches == rs.num_matches
         assert rb.num_inliers == rs.num_inliers
         np.testing.assert_allclose(rb.affine, rs.affine, atol=1e-4)
+
+
+def test_register_batch_unmatchable_pair():
+    """A pair with (almost) no descriptor matches must come back as
+    affine=None without crashing the fused batch path — the RANSAC
+    sampler runs on a <4-correspondence prefix of zero padding there."""
+    from sift3d_tpu.registration import register_batch
+
+    rng = np.random.default_rng(0)
+    fixed = make_phantom(32, nblobs=5, seed=1)
+    moving = rng.normal(size=(32, 32, 32)).astype(np.float32)
+    out = register_batch(fixed[None], moving[None], num_iter=50)
+    assert len(out) == 1
+    r = out[0]
+    if r.num_matches < 4:
+        assert r.affine is None and r.num_inliers == 0
+    else:      # noise can produce spurious matches; just require sanity
+        assert r.affine is None or np.isfinite(r.affine).all()
