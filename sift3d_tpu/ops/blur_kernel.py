@@ -186,10 +186,14 @@ def chain_tiles(dims, halo, vmem_budget=10 * 1024 * 1024):
     nx, ny, nz = dims
     HX = HY = halo
     for tx in (32, 24, 16, 8):
-        if nx % tx or nx // tx < 2 or nx < tx + 2 * HX:
+        # tx >= HX: an interior tile's slab DMA starts at i*TX - HX,
+        # which must be >= 0 already at i == 1 (tiles smaller than the
+        # halo read before the volume and past its end — measured
+        # level-5 rel err 5e-2 at 40x40x128 in interpret mode).
+        if nx % tx or nx // tx < 2 or nx < tx + 2 * HX or tx < HX:
             continue
         for ty in (32, 24, 16, 8):
-            if ny % ty or ny // ty < 2 or ny < ty + 2 * HY:
+            if ny % ty or ny // ty < 2 or ny < ty + 2 * HY or ty < HY:
                 continue
             slab = (tx + 2 * HX) * (ty + 2 * HY) * nz * 4
             tmp1 = tx * (ty + 2 * HY) * nz * 4
@@ -200,7 +204,11 @@ def chain_tiles(dims, halo, vmem_budget=10 * 1024 * 1024):
     return None
 
 
-def _dense_z(Wz, lo, nz):
+def _dense_z(Wz, lo, nz, nzp=None):
+    """Dense z-pass operator [nz(in), nz(out)] from the band; nzp embeds
+    it into a zero-padded [nzp, nzp] (lane-tile-aligned buffers: padded
+    rows/cols carry zero weight, so margin voxels stay exactly zero and
+    the first nz outputs are bit-identical to the unpadded operator)."""
     dense = np.zeros((nz, nz), np.float32)
     rows = np.arange(nz)
     Wz = np.asarray(Wz)
@@ -208,7 +216,16 @@ def _dense_z(Wz, lo, nz):
         cols = rows + lo + k
         m = (cols >= 0) & (cols < nz)
         dense[rows[m], cols[m]] += Wz[m, k]
-    return dense.T                               # [nz(in), nz(out)]
+    dense = dense.T                              # [nz(in), nz(out)]
+    if nzp is not None and nzp != nz:
+        dense = np.pad(dense, ((0, nzp - nz), (0, nzp - nz)))
+    return dense
+
+
+def _pad_lane(nz: int) -> int:
+    """z extent rounded up to a whole number of 128-lane tiles (Mosaic
+    requires the DMA'd slab's lane extent be tile-aligned)."""
+    return -(-nz // 128) * 128
 
 
 def _level_halo(diags) -> int:
@@ -218,12 +235,16 @@ def _level_halo(diags) -> int:
 
 
 def _chain_call(buf, dog, src_ext, diags, L, dims, dst,
-                interpret=False):
+                interpret=False, nz_logical=None):
     """One link of the chain. buf/dog None (with src_ext set) creates the
     buffers; diags None copies src_ext into buf[dst] unblurred. Tiles are
     sized per level from ITS band halo (wide-band levels take smaller
-    tiles to fit VMEM)."""
+    tiles to fit VMEM). dims are the BUFFER dims (z lane-tile-padded);
+    nz_logical is the volume's true z extent (z-operator rows/cols beyond
+    it are zero, see _dense_z)."""
     nx, ny, nz = dims
+    if nz_logical is None:
+        nz_logical = nz
     tiles = chain_tiles(dims, 0 if diags is None else _level_halo(diags))
     assert tiles is not None, (dims, dst)
     TX, TY = tiles
@@ -254,7 +275,7 @@ def _chain_call(buf, dog, src_ext, diags, L, dims, dst,
     HY = _halo(loy, Wy.shape[1])
     Wxd = jnp.asarray(np.asarray(Wx, np.float32))
     Wyd = jnp.asarray(np.asarray(Wy, np.float32))
-    Wzd = jnp.asarray(_dense_z(Wz, loz, nz))
+    Wzd = jnp.asarray(_dense_z(Wz, loz, nz_logical, nz))
     kernel = functools.partial(
         _chain_kernel, TX=TX, TY=TY, nz=nz, HX=HX, HY=HY,
         lox=int(lox), loy=int(loy), gi=gi, gj=gj,
@@ -297,37 +318,53 @@ def chain_octave(src, plan, octave: int, interpret: bool = False):
     aliased Pallas calls. src: the [-1,1]-scaled input (octave 0, blurred
     sigma_n -> first level) or the downsampled previous-octave level
     (octave > 0, copied in unblurred). Returns (gpyr [L, nx, ny, nz],
-    dog [L-1, nx, ny, nz]). Call chain_eligible first."""
+    dog [L-1, nx, ny, nz]). Call chain_eligible first.
+
+    A z extent that is not a whole number of 128-lane tiles (192^3) runs
+    on z-padded buffers: the padded input margin is zero, the z operator
+    carries zero weight into/out of the margin (_dense_z), so every
+    level's margin stays exactly zero and the [:, :, :nz] slice of the
+    padded chain is bit-identical to the unpadded program."""
     L = plan.num_gpyr_levels
     dims = plan.octave_dims[octave]
     assert chain_eligible(plan, octave), (dims,)
+    nx, ny, nz = dims
+    nzp = _pad_lane(nz)
+    if nzp != nz:
+        src = jnp.pad(src, ((0, 0), (0, 0), (0, nzp - nz)))
+    pdims = (nx, ny, nzp)
     if octave == 0:
         diags0 = plan.conv_diags(0, plan.first_taps)
-        buf, dog = _chain_call(None, None, src, diags0, L, dims, 0,
-                               interpret)
+        buf, dog = _chain_call(None, None, src, diags0, L, pdims, 0,
+                               interpret, nz_logical=nz)
     else:
-        buf, dog = _chain_call(None, None, src, None, L, dims, 0,
-                               interpret)
+        buf, dog = _chain_call(None, None, src, None, L, pdims, 0,
+                               interpret, nz_logical=nz)
     for i in range(1, L):
         diags = plan.conv_diags(octave, plan.level_taps[i])
-        buf, dog = _chain_call(buf, dog, None, diags, L, dims, i,
-                               interpret)
+        buf, dog = _chain_call(buf, dog, None, diags, L, pdims, i,
+                               interpret, nz_logical=nz)
+    if nzp != nz:
+        return buf[:, :, :, :nz], dog[:, :, :, :nz]
     return buf, dog
 
 
 def chain_eligible(plan, octave: int) -> bool:
     """True if the chained builder supports this octave (every level's
-    tiles exist); else the caller falls back to the composed builder."""
+    tiles exist); else the caller falls back to the composed builder.
+    z extents below 64 are rejected: the lane-tile pad (z -> 128) would
+    more than double the slab DMA traffic and the dense z-operator cost
+    on an octave the composed fallback handles cheaply."""
     dims = plan.octave_dims[octave]
-    if dims[2] % 128:
-        # Mosaic requires the DMA'd slab's lane (z) extent be a whole
-        # number of 128-lane tiles (192^3 measured: "Slice shape along
-        # dimension 2 must be aligned to tiling (128)").
+    nz = dims[2]
+    nzp = _pad_lane(nz)
+    if nz < 64 or nzp > 2 * nz:
         return False
+    pdims = (dims[0], dims[1], nzp)
     L = plan.num_gpyr_levels
     diag_sets = [plan.conv_diags(octave, plan.level_taps[i])
                  for i in range(1, L)]
     if octave == 0:
         diag_sets.append(plan.conv_diags(0, plan.first_taps))
-    return all(chain_tiles(dims, _level_halo(d)) is not None
+    return all(chain_tiles(pdims, _level_halo(d)) is not None
                for d in diag_sets)

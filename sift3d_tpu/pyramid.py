@@ -431,10 +431,13 @@ def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
     src_prev = vol      # previous octave's downsample source level
     for o in range(plan.num_octaves):
         if not chain_eligible(plan, o):
-            # Composed fallback (folds the downsample itself). The
-            # chain is f32-exact; force the fallback octaves exact
-            # too so the pyramid's precision stays uniform — they
-            # cost ~8^-o of octave 0.
+            # Composed fallback (folds the downsample itself). Octaves
+            # >= 1 are forced f32-exact to match the chain — they cost
+            # ~8^-o of octave 0. A chain-INELIGIBLE octave 0 keeps the
+            # composed default's mixed-precision groups (forcing it
+            # exact costs ~+2 ms at 256^3 and octave 0 dominates
+            # runtime), so the pyramid's precision is uniform only when
+            # octave 0 itself runs the chain.
             oct_ = _build_octave_composed(
                 src_prev, plan, o,
                 [(0, L, hi)] if o >= 1 else _composed_groups(params, o))

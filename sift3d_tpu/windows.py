@@ -75,12 +75,21 @@ def gather_window_leveled(levels: jnp.ndarray, lvl: jnp.ndarray,
 
 def chunked_vmap(fn, xs, chunk: int):
     """vmap fn over the leading axis of xs (a pytree), processing `chunk`
-    rows at a time with lax.map to bound memory. Leading dim must be a
-    multiple of `chunk` (callers pad capacities to satisfy this)."""
+    rows at a time with lax.map to bound memory. A lead that is not a
+    multiple of `chunk` is padded by repeating row 0 (fn is pure and
+    per-row, so pad rows compute discarded-but-in-range garbage) and the
+    output sliced back — sharded per-shard slot counts need not align to
+    the chunk."""
     lead = jax.tree_util.tree_leaves(xs)[0].shape[0]
     if lead <= chunk:
         return jax.vmap(fn)(xs)
-    assert lead % chunk == 0, (lead, chunk)
+    if lead % chunk:
+        pad = chunk - lead % chunk
+        xs_p = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]), xs)
+        out = chunked_vmap(fn, xs_p, chunk)
+        return jax.tree_util.tree_map(lambda x: x[:lead], out)
     xs_c = jax.tree_util.tree_map(
         lambda x: x.reshape((lead // chunk, chunk) + x.shape[1:]), xs)
     out = jax.lax.map(lambda c: jax.vmap(fn)(c), xs_c)

@@ -34,6 +34,26 @@ def rng():
     return np.random.default_rng(20260816)
 
 
+def disable_persistent_cache_fixture():
+    """Module-scope autouse fixture body: turn the on-disk compilation
+    cache off for compile-heavy modules. jaxlib's persistent-cache
+    serialize/deserialize of CPU executables segfaults INTERMITTENTLY
+    (cpu_aot_loader machine-feature path; observed in-suite at
+    test_sharding round 2-3 and at test_registration's batch path round
+    4). In-memory jit caching still applies within the run.
+
+    config.update alone is NOT enough: compilation_cache holds a global
+    initialized on first use, so it must be reset to pick up the change
+    (and reset again on teardown to re-enable the suite's cache dir)."""
+    from jax._src import compilation_cache as cc
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    cc.reset_cache()
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+    cc.reset_cache()
+
+
 def make_phantom(n, rng=None, nblobs=12, seed=7):
     """Synthetic multi-blob phantom: sum of anisotropic Gaussian blobs on a
     smooth background. Deterministic for a given (n, seed)."""

@@ -69,6 +69,31 @@ def test_chain_octave_anisotropic_units():
     assert np.abs(np.asarray(dog0) - ref_dog0).max() / scale < 1e-6
 
 
+def test_chain_octave_lane_padded_z():
+    """A z extent that is not a whole number of 128-lane tiles (the 192^3
+    registration size class) runs the chain on z-padded buffers; the
+    sliced result must match the sequential reference to f32 rounding
+    (the padded margin carries zero weight end to end)."""
+    from sift3d_tpu.ops.blur_kernel import chain_eligible, chain_octave
+    from sift3d_tpu.pyramid import build_gpyr_incremental
+
+    params = DetectorParams()
+    dims = (96, 128, 96)      # nz 96 -> padded 128
+    plan = make_plan(dims, (1.0, 1.0, 1.0), params)
+    assert chain_eligible(plan, 0)
+    rng = np.random.default_rng(9)
+    vol = scale_to_unit(jnp.asarray(
+        rng.normal(size=dims).astype(np.float32)))
+    ref = build_gpyr_incremental(vol, plan)
+    gp0, dog0 = chain_octave(vol, plan, 0, interpret=True)
+    assert gp0.shape == (plan.num_gpyr_levels,) + dims
+    scale = float(np.abs(np.asarray(ref[0])).max())
+    assert np.abs(np.asarray(gp0) - np.asarray(ref[0])).max() \
+        / scale < 1e-6
+    ref_dog0 = np.asarray(ref[0][:-1] - ref[0][1:])
+    assert np.abs(np.asarray(dog0) - ref_dog0).max() / scale < 1e-6
+
+
 def test_build_gpyr_and_dog_chain_matches_composed():
     """gpyr_impl='chain' through build_gpyr_and_dog (interpret mode),
     including the exact-composed fallback octaves, matches the sequential
@@ -104,3 +129,21 @@ def test_chain_tiles_budget():
     assert 256 % tx == 0 and 256 % ty == 0
     assert chain_tiles((150, 150, 256), 8) is None      # not tileable
     assert chain_tiles((32, 32, 256), 16) is None       # < 2 tiles/axis
+
+
+def test_chain_tiles_never_smaller_than_halo():
+    """A tile smaller than the halo makes interior-tile slab DMAs start
+    before the volume (i*TX - HX < 0 at i=1) and read TX + 2HX past nx —
+    silently wrong levels (measured 5e-2 rel err at 40x40x128 before the
+    fix). 40 is divisible by 8 but by none of 16/24/32, so halo-16 bands
+    must be rejected, and any returned tile must cover its halo."""
+    from sift3d_tpu.ops.blur_kernel import chain_tiles
+
+    assert chain_tiles((40, 40, 128), 16) is None
+    assert chain_tiles((200, 200, 128), 24) is None     # 200 % 8 == 0 only
+    for dims in [(40, 40, 128), (200, 200, 128), (256, 256, 256),
+                 (96, 128, 128), (192, 192, 256)]:
+        for halo in (8, 16, 24, 32):
+            t = chain_tiles(dims, halo)
+            if t is not None:
+                assert t[0] >= halo and t[1] >= halo, (dims, halo, t)

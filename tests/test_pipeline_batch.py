@@ -1,8 +1,12 @@
 """Batched multi-volume detection (one compiled program per batch shape)."""
 
 import numpy as np
+import pytest
 
-from conftest import make_phantom
+from conftest import disable_persistent_cache_fixture, make_phantom
+
+_no_persistent_cache = pytest.fixture(autouse=True, scope="module")(
+    disable_persistent_cache_fixture)
 
 
 def test_batch_matches_individual():

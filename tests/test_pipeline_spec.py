@@ -39,7 +39,8 @@ def test_spec_desc_cache_matches_device_path(blob_volume):
     np.testing.assert_array_equal(np.asarray(kp1.coords),
                                   np.asarray(kp2.coords))
     d2 = det.extract_descriptors(kp2)  # served from cache
-    # the cache ships as uint16 fixed point: error <= dmax/131070 <= 7.7e-6
+    # the cache ships as 12-bit fixed point (2 values / 3 bytes):
+    # error <= dmax/8190 <= 1.3e-4 for dmax <= 1.05
     np.testing.assert_allclose(d1.data, d2.data, atol=2e-4)
     np.testing.assert_allclose(d1.xyz, d2.xyz)
     np.testing.assert_allclose(d1.sd, d2.sd)

@@ -3,7 +3,10 @@
 import numpy as np
 import pytest
 
-from conftest import make_phantom
+from conftest import disable_persistent_cache_fixture, make_phantom
+
+_no_persistent_cache = pytest.fixture(autouse=True, scope="module")(
+    disable_persistent_cache_fixture)
 
 
 def test_ransac_synthetic_outliers():
