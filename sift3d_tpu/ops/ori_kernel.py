@@ -99,7 +99,9 @@ def _kernel(idx_ref, fp_ref, lv_ref, out_ref, win_s, sems, *, G,
         dmas.append(dma)
 
     # Interior iotas; coordinates are start + 1 + iota for x/y (as the XLA
-    # path) and absolute for z (full-axis window).
+    # path) and slab-origin + index for z (full-axis window; the origin
+    # row of idx_ref is 0 for a whole-volume level and the slab's global
+    # z offset for a z_view shard slab).
     ishape = (Ex - 2, Ey - 2, nz - 2)
     iox = jax.lax.broadcasted_iota(jnp.int32, ishape, 0)
     ioy = jax.lax.broadcasted_iota(jnp.int32, ishape, 1)
@@ -122,7 +124,7 @@ def _kernel(idx_ref, fp_ref, lv_ref, out_ref, win_s, sems, *, G,
 
         X = idx_ref[1, base] + 1 + iox
         Y = idx_ref[2, base] * 8 + 1 + ioy
-        Z = 1 + ioz
+        Z = idx_ref[3, base] + 1 + ioz
 
         mask = None
         for c, u, I, n in zip((cx, cy, cz), (ux, uy, uz), (X, Y, Z), n_dims):
@@ -159,9 +161,12 @@ def _kernel(idx_ref, fp_ref, lv_ref, out_ref, win_s, sems, *, G,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("extents", "units", "params", "interpret"))
+    jax.jit,
+    static_argnames=("extents", "units", "params", "interpret",
+                     "global_nz"))
 def ori_moments_pallas(levels, lvl, coords, fp, extents, units, params,
-                       interpret: bool = False):
+                       interpret: bool = False, z_origin=None,
+                       global_nz: int | None = None):
     """Window moments for K keypoints: A f32[K, 3, 3], vd f32[K, 3].
 
     levels: [L, nx, ny, nz] stacked same-shape pyramid levels (HBM).
@@ -170,10 +175,20 @@ def ori_moments_pallas(levels, lvl, coords, fp, extents, units, params,
     fp:     f32[K, 4] = (cx, cy, cz, sd) per keypoint.
     extents: the XLA path's window extents (Ex, Ey, Ez); y widens to the
             tiling, z is replaced by the full axis (module docstring).
+    z_origin/global_nz: the z_view contract (windows.gather_window):
+            `levels` is a LOCAL z-slab of a `global_nz`-deep volume whose
+            slab index 0 sits at global z `z_origin` (traced scalar,
+            possibly negative for halo margins); coords/centers are
+            global, and loop bounds clip against global_nz. Lets the
+            kernel run inside a shard_map body on halo-extended slabs.
     """
     K = coords.shape[0]
     n_dims = tuple(levels.shape[1:])
     nx, ny, nz = n_dims
+    if global_nz is not None:
+        n_dims = (nx, ny, global_nz)
+    if z_origin is None:
+        z_origin = jnp.int32(0)
     # Mosaic HBM slice tiling: the lane (z) dim must be a multiple of 128
     # even when unsliced and the sublane (y) slice a multiple of 8 — pad
     # the levels up (the loop-bound mask uses absolute bounds from the
@@ -194,7 +209,8 @@ def ori_moments_pallas(levels, lvl, coords, fp, extents, units, params,
     # (SMEM lane-pads the last dim to 128; see _kernel docstring).
     x0 = jnp.clip(coords[:, 0] - (extents[0] - 1) // 2, 0, nx - Ex)
     y0 = jnp.clip(coords[:, 1] - (extents[1] - 1) // 2, 0, ny_pad - Eyp)
-    idx = jnp.stack([lvl, x0, y0 // 8], axis=0).astype(jnp.int32)
+    org = jnp.broadcast_to(jnp.asarray(z_origin, jnp.int32), (K,))
+    idx = jnp.stack([lvl, x0, y0 // 8, org], axis=0).astype(jnp.int32)
 
     fp = fp.T                       # [4, K] for the SMEM layout
     G = pack_size(Ex, Eyp, nz_pad)

@@ -183,7 +183,8 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
                         level_index: jnp.ndarray | None = None,
                         fractional_centers: bool | None = None,
                         use_pallas: bool | None = None,
-                        z_view=None) -> OrientationResult:
+                        z_view=None,
+                        pallas_interpret: bool = False) -> OrientationResult:
     """Batched orientation assignment for all keypoints of one pyramid level.
 
     coords: i32[K, 3] integer gather anchors. centers: optional f32[K, 3]
@@ -215,7 +216,7 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
               else jnp.asarray(sd, jnp.float32))
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and z_view is None
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas and K % 8 == 0:
         from .ops.ori_kernel import ori_moments_pallas
         levels = level[None] if level_index is None else level
@@ -223,8 +224,16 @@ def assign_orientations(level: jnp.ndarray, coords: jnp.ndarray,
                else level_index)
         fp = jnp.concatenate(
             [centers.astype(jnp.float32), sd_arr[:, None]], axis=-1)
+        zkw = {}
+        if z_view is not None:
+            # shard-local slab with global coordinates (the kernel's
+            # z_origin/global_nz contract) — the moments kernel now runs
+            # inside shard_map bodies too.
+            zkw = dict(z_origin=jnp.asarray(z_view[0], jnp.int32),
+                       global_nz=int(z_view[1]))
         A, vd_win = ori_moments_pallas(levels, lvl, coords, fp, extents,
-                                       tuple(units), params)
+                                       tuple(units), params,
+                                       interpret=pallas_interpret, **zkw)
     elif level_index is None:
         A, vd_win = chunked_vmap(
             lambda args: _window_moments(level, args[0], args[1], args[2],

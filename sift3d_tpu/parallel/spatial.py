@@ -89,17 +89,21 @@ def build_gpyr_sharded(vol, plan: PyramidPlan, mesh: Mesh, axis: str):
 
 
 def detect_extrema_level_sharded(prev, cur, next_, params: DetectorParams,
-                                 cap_per_shard: int, mesh: Mesh, axis: str):
+                                 cap_per_shard: int, mesh: Mesh, axis: str,
+                                 use_pallas: bool | None = None,
+                                 interpret: bool = False):
     """Sharded extrema detection on one DoG level triple; returns per-shard
     candidate stores stacked on a leading shard axis [ndev, cap_per_shard]
     whose concatenation is the exact global (z,y,x) candidate order.
 
-    The stencil here is the XLA shifted-slice form, not the Pallas
-    extrema kernel: the kernel requires the lane (z) extent to be a
-    whole number of 128-lane tiles, and a shard's halo-extended slab
-    (local + 2) never is. The two stencils produce identical candidate
-    sets (tests/test_detect.py), so this is a per-level device-time
-    trade only, on slabs 1/ndev the size of the level."""
+    The stencil inside each shard body is the Pallas extrema kernel on
+    TPU (the same hot loop the single-chip path owns, detect_extrema
+    sift.c:822-866): the halo-extended slab's lane (z) extent is padded
+    up to the 128-lane tile (the kernel's interior test plus the
+    explicit global-z bounds below void every pad/halo row). use_pallas
+    False (the CPU default) keeps the XLA shifted-slice form; the two
+    produce identical candidate sets (test_sharding.py pins sharded ==
+    single-device with the kernel forced on in interpret mode)."""
     from ..detect import _CUBE_OFFSETS, _FACE_OFFSETS
 
     ndev = mesh.shape[axis]
@@ -107,6 +111,8 @@ def detect_extrema_level_sharded(prev, cur, next_, params: DetectorParams,
     local = nz // ndev
     fwd = [(j, (j + 1) % ndev) for j in range(ndev)]
     bwd = [(j, (j - 1) % ndev) for j in range(ndev)]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     def f(p_, c_, n_):
         stack = jnp.stack([p_, c_, n_])                 # [3, nx, ny, local]
@@ -123,21 +129,34 @@ def detect_extrema_level_sharded(prev, cur, next_, params: DetectorParams,
             return a[1 + dx: nx - 1 + dx, 1 + dy: ny - 1 + dy,
                      1 + dz: 1 + local + dz]
         pcur = sh(ce, 0, 0, 0)
-        if params.cuboid_extrema:
-            cur_n = [sh(ce, *off) for off in _CUBE_OFFSETS
-                     if off != (0, 0, 0)]
-            prev_n = [sh(pe, *off) for off in _CUBE_OFFSETS]
-            next_n = [sh(ne, *off) for off in _CUBE_OFFSETS]
+        if use_pallas:
+            from ..ops.extrema_kernel import extrema_mask_pallas
+            zp = -(-(local + 2) // 128) * 128
+            ext_p = jnp.pad(ext, ((0, 0), (0, 0), (0, 0),
+                                  (0, zp - local - 2)))
+            m = extrema_mask_pallas(ext_p, peak[None],
+                                    cuboid=params.cuboid_extrema,
+                                    interpret=interpret)[0]
+            # kernel interior allows z up to zp-2 (incl. halo/pad rows);
+            # slice to the slab's own rows — the global-z bounds below
+            # finish the job at the volume border.
+            mask = m[1:nx - 1, 1:ny - 1, 1:1 + local].astype(bool)
         else:
-            cur_n = [sh(ce, *off) for off in _FACE_OFFSETS]
-            prev_n = [sh(pe, 0, 0, 0)]
-            next_n = [sh(ne, 0, 0, 0)]
-        is_max = jnp.ones_like(pcur, bool)
-        is_min = jnp.ones_like(pcur, bool)
-        for nb in cur_n + prev_n + next_n:
-            is_max &= pcur > nb
-            is_min &= pcur < nb
-        mask = ((pcur > peak) | (pcur < -peak)) & (is_max | is_min)
+            if params.cuboid_extrema:
+                cur_n = [sh(ce, *off) for off in _CUBE_OFFSETS
+                         if off != (0, 0, 0)]
+                prev_n = [sh(pe, *off) for off in _CUBE_OFFSETS]
+                next_n = [sh(ne, *off) for off in _CUBE_OFFSETS]
+            else:
+                cur_n = [sh(ce, *off) for off in _FACE_OFFSETS]
+                prev_n = [sh(pe, 0, 0, 0)]
+                next_n = [sh(ne, 0, 0, 0)]
+            is_max = jnp.ones_like(pcur, bool)
+            is_min = jnp.ones_like(pcur, bool)
+            for nb in cur_n + prev_n + next_n:
+                is_max &= pcur > nb
+                is_min &= pcur < nb
+            mask = ((pcur > peak) | (pcur < -peak)) & (is_max | is_min)
 
         # global z-interior constraint [1, nz-2]
         zoff = jax.lax.axis_index(axis) * local
@@ -176,13 +195,15 @@ def _sharded_keys_caps(plan: PyramidPlan):
 def _sharded_detect_fused_fn(plan: PyramidPlan, mesh: Mesh, axis: str,
                              ocfg: tuple):
     """The HINTED fused sharded detection: pyramid + extrema +
-    orientation for every level in ONE jit, with per-level orientation
-    slots sized from the previous detection's counts (ocfg[idx]; 0 skips
-    a level that had no candidates). Sharded levels run orientation
+    orientation + SPECULATIVE descriptors for every level in ONE jit,
+    with per-level (ori_slots, desc_slots) sized from the previous
+    detection's counts (ocfg[idx]; 0 ori slots skips a level that had no
+    candidates, 0 desc slots skips speculation for a level that had no
+    accepted keypoints). Sharded levels run orientation + descriptors
     through the _ori_shard_map halo-exchange body (per-shard slot
-    prefix); replicated levels orient their flat slot prefix in place.
-    One dispatch + one device_get replace the
-    detect -> counts-sync -> orient -> results-sync chain."""
+    prefix); replicated levels run their flat slot prefix in place. One
+    dispatch + one device_get replace the detect -> counts-sync ->
+    orient -> results-sync -> extract chain."""
     from ..orientation import assign_orientations
 
     params = plan.params
@@ -198,7 +219,7 @@ def _sharded_detect_fused_fn(plan: PyramidPlan, mesh: Mesh, axis: str,
             d_prev = gpyr[o][i - 1] - gpyr[o][i]
             d_cur = gpyr[o][i] - gpyr[o][i + 1]
             d_next = gpyr[o][i + 1] - gpyr[o][i + 2]
-            slots = ocfg[idx]
+            slots, dslots = ocfg[idx]
             if flags[o]:
                 cap_l = -(-caps[(o, i)] // ndev)
                 cand = detect_extrema_level_sharded(
@@ -208,9 +229,10 @@ def _sharded_detect_fused_fn(plan: PyramidPlan, mesh: Mesh, axis: str,
                     co = cand.coords[:, :slots]
                     st = cand.strength[:, :slots]
                     va = cand.valid[:, :slots]
-                    ori = _ori_shard_map(plan, o, i, mesh, axis)(
-                        gpyr[o][i], co, va)
-                    payload.append((co, st, ori))
+                    out = _ori_shard_map(plan, o, i, mesh, axis,
+                                         dslots)(gpyr[o][i], co, va)
+                    ori, dp = out if dslots else (out, None)
+                    payload.append((co, st, ori, dp))
                 else:
                     payload.append(None)
             else:
@@ -226,7 +248,21 @@ def _sharded_detect_fused_fn(plan: PyramidPlan, mesh: Mesh, axis: str,
                         gpyr[o][i], co, va,
                         float(plan.scales[o][i]), plan.level_units(o),
                         params, chunk=slots)
-                    payload.append((co, st, ori))
+                    dp = None
+                    if dslots:
+                        from ..descriptor import extract_descriptors
+                        from ..detect import compact_flat
+                        from ..pipeline import _quantize
+                        idx2, dval, acc = compact_flat(ori.accepted,
+                                                       dslots)
+                        cod = co[idx2]
+                        res = extract_descriptors(
+                            gpyr[o][i], cod, ori.R[idx2], dval,
+                            float(plan.scales[o][i]), o,
+                            plan.level_units(o), params)
+                        desc_q, dsc = _quantize(res.desc)
+                        dp = (acc, idx2, desc_q, dsc, res.xyz, res.sd)
+                    payload.append((co, st, ori, dp))
                 else:
                     payload.append(None)
             cands.append(cand)
@@ -285,12 +321,19 @@ def _z_extend(x, mesh_axis: str, ndev: int, halo: int, local: int):
 
 
 def _ori_shard_map(plan: PyramidPlan, octave: int, dog_idx: int,
-                   mesh: Mesh, axis: str):
+                   mesh: Mesh, axis: str, dslots: int = 0):
     """shard_map callable: orientation for the per-shard candidates of
     one SHARDED level. Candidates are already local to the shard that
     found them, so each shard halo-exchanges ori-radius rows of its
     level slab and computes its own candidates' windows locally — no
-    GSPMD all-gather of the level."""
+    GSPMD all-gather of the level.
+
+    dslots > 0 additionally extracts SPECULATIVE descriptors for up to
+    dslots accepted keypoints per shard over a descriptor-radius
+    halo-extended slab and returns them 12-bit-quantized as a second
+    output (acc, slot_idx, desc_q, desc_scale, xyz, sd) — the sharded
+    analogue of the single-chip fused program's descriptor stage, so
+    sharded detect+extract is one dispatch + one get (VERDICT r3 #5)."""
     from ..orientation import assign_orientations
     from ..windows import window_extent
 
@@ -311,7 +354,23 @@ def _ori_shard_map(plan: PyramidPlan, octave: int, dog_idx: int,
         ori = assign_orientations(
             ext, coords[0], valid[0], float(sd), units, params,
             z_view=(zlo - Gz, nz))
-        return jax.tree_util.tree_map(lambda x: x[None], ori)
+        ori_out = jax.tree_util.tree_map(lambda x: x[None], ori)
+        if not dslots:
+            return ori_out
+        from ..descriptor import _level_radius, extract_descriptors
+        from ..detect import compact_flat
+        from ..pipeline import _quantize
+        Gzd = window_extent(
+            _level_radius(float(sd), params) / units[2], nz, 0)
+        idx, dval, acc = compact_flat(ori.accepted, dslots)
+        co = coords[0][idx]
+        extd = _z_extend(level, axis, ndev, Gzd, local)
+        res = extract_descriptors(
+            extd, co, ori.R[idx], dval, float(sd), octave, units,
+            params, z_view=(zlo - Gzd, nz))
+        desc_q, dsc = _quantize(res.desc)
+        dp = (acc, idx, desc_q, dsc, res.xyz, res.sd)
+        return ori_out, jax.tree_util.tree_map(lambda x: x[None], dp)
 
     from ..pipeline import _shard_map
     return _shard_map(f, mesh, (P(None, None, axis), P(axis), P(axis)),
@@ -411,10 +470,14 @@ class ShardedSIFT3D:
         self._input_shape = None
         self._ext_proxy = None
         self._shard_flags = None
-        # Per-(octave, dog level) max per-shard candidate count of the
-        # last detection: sizes the fused hinted program's ori slots.
+        # Per-(octave, dog level) (max per-shard candidate count, max
+        # per-shard accepted count) of the last detection: sizes the
+        # fused hinted program's ori and speculative-descriptor slots.
         self._sh_hint = None
         self._sh_hint_plan = None
+        # Speculative descriptors of the last hinted detection, keyed by
+        # keypoint identity (octave, level, x, y, z).
+        self._spec_desc_cache = None
 
     def detect_keypoints(self, vol):
         import warnings
@@ -428,6 +491,7 @@ class ShardedSIFT3D:
         if self.params.refine_subvoxel or self.params.edge_thresh is not None:
             return self._detect_gspmd(vol)
         self._ext_proxy = None
+        self._spec_desc_cache = None
         plan = make_plan(vol.shape, vol.units, self.params)
         ndev = self.mesh.shape[self.axis]
         data = jax.device_put(
@@ -440,20 +504,26 @@ class ShardedSIFT3D:
         fetch = []     # device payloads for entries with None
 
         if hint is not None:
-            # Fused hinted program: pyramid + extrema + orientation in
-            # ONE dispatch, slots sized from the previous detection;
-            # levels whose counts outgrew their slots redo exactly below.
+            # Fused hinted program: pyramid + extrema + orientation +
+            # speculative descriptors in ONE dispatch, slots sized from
+            # the previous detection; levels whose counts outgrew their
+            # slots redo exactly below.
             keys, caps = _sharded_keys_caps(plan)
             flags = [octave_is_sharded(plan, o, ndev)
                      for o in range(plan.num_octaves)]
+
+            def _m8(v):
+                return max(8, -(-(v + (v >> 2) + 1) // 8) * 8)
+
             ocfg = []
             for (o, i) in keys:
-                h = int(hint.get((o, i), 0))
+                h, ha = hint.get((o, i), (0, 0))
                 cap = (-(-caps[(o, i)] // ndev) if flags[o]
                        else caps[(o, i)])
-                ocfg.append(0 if h == 0 else
-                            min(cap, max(8, -(-(h + (h >> 2) + 1) // 8)
-                                         * 8)))
+                oslots = 0 if h == 0 else min(cap, _m8(h))
+                dslots = (0 if ha == 0 or oslots == 0
+                          else min(oslots, _m8(ha)))
+                ocfg.append((oslots, dslots))
             run = _sharded_detect_fused_fn(plan, self.mesh, self.axis,
                                            tuple(ocfg))
             gpyr, counts_dev, payload, cands = run(data)
@@ -463,7 +533,7 @@ class ShardedSIFT3D:
             counts, host_p = jax.device_get((counts_dev, payload))
             counts = [np.atleast_1d(c) for c in counts]
             for idx, (o, i) in enumerate(keys):
-                cnt, slots = counts[idx], ocfg[idx]
+                cnt, (slots, _ds) = counts[idx], ocfg[idx]
                 cand = cands[idx]
                 if flags[o]:
                     cap_l = -(-caps[(o, i)] // ndev)
@@ -547,11 +617,15 @@ class ShardedSIFT3D:
                         pending.append(("rep", (o, i), c, None))
                         fetch.append((co, cand.strength[:b], ori))
 
-        # Learn the per-level hint (sharded: max per-shard count).
-        self._sh_hint = {}
+        # Learn the per-level hint: (max per-shard candidate count,
+        # max per-shard accepted count) — the second sizes the fused
+        # program's speculative descriptor slots. Accepted counts update
+        # in the emit loop below (they need the fetched ori results).
+        sh_hint = {}
         for (o, i), cnt in zip(keys, counts):
             cnt = np.atleast_1d(cnt)
-            self._sh_hint[(o, i)] = int(cnt.max())
+            sh_hint[(o, i)] = [int(cnt.max()), 0]
+        self._sh_hint = {k: tuple(v) for k, v in sh_hint.items()}
         self._sh_hint_plan = plan
 
         if not pending:
@@ -575,22 +649,53 @@ class ShardedSIFT3D:
             out_l.append(np.full(c, i - 1, np.int32))
             out_sd.append(np.full(c, plan.scales[o][i], np.float64))
 
+        from ..pipeline import _dequant12
+        cache = {}
+
+        def cache_fill(o, i, co_slots, dp, shard=None):
+            # dp: (acc, slot_idx, desc_q, desc_scale, xyz, sd) for one
+            # shard (or the replicated level). Cache what speculation
+            # covered; extract_descriptors device-extracts the rest.
+            acc, sidx, desc_q, dsc, xyz, sd = dp
+            kk = min(int(acc), desc_q.shape[0])
+            if kk == 0:
+                return
+            desc = _dequant12(desc_q, dsc, kk)
+            for j in range(kk):
+                c3 = co_slots[sidx[j]]
+                cache[(o, i - 1, float(c3[0]), float(c3[1]),
+                       float(c3[2]))] = (desc[j], xyz[j], sd[j])
+
         fi = 0
         for kind, (o, i), cnt, payload in pending:
             if payload is None:
                 payload = host_fetch[fi]
                 fi += 1
-            co, st, ori = payload
+            co, st, ori = payload[0], payload[1], payload[2]
+            dp = payload[3] if len(payload) > 3 else None
+            acc_max = 0
             if kind == "sh":
                 # shard-major emission == global (z,y,x) candidate order
                 for s in range(ndev):
                     c = int(cnt[s])
+                    acc_max = max(acc_max,
+                                  int(np.sum(ori.accepted[s][:c])))
                     if c:
                         emit(o, i, co[s][:c], st[s][:c],
                              ori.accepted[s][:c], ori.R[s][:c])
+                    if dp is not None:
+                        cache_fill(o, i, co[s],
+                                   jax.tree_util.tree_map(
+                                       lambda x: x[s], dp))
             else:
                 c = int(cnt)
+                acc_max = int(np.sum(ori.accepted[:c]))
                 emit(o, i, co[:c], st[:c], ori.accepted[:c], ori.R[:c])
+                if dp is not None:
+                    cache_fill(o, i, co, dp)
+            sh_hint[(o, i)][1] = acc_max
+        self._sh_hint = {k: tuple(v) for k, v in sh_hint.items()}
+        self._spec_desc_cache = cache or None
 
         coords = np.concatenate(out_c).astype(np.float64)
         strength = np.concatenate(out_s).astype(np.float64)
@@ -655,9 +760,28 @@ class ShardedSIFT3D:
         sd_out = np_.zeros((n,), np_.float32)
         done = np_.zeros((n,), bool)
 
+        # Speculative-descriptor cache from the hinted fused detection:
+        # covered keypoints cost zero device work and zero round-trips
+        # (identity lookup tolerates sorting/truncation between detect
+        # and extract, like the single-chip path).
+        cache = getattr(self, "_spec_desc_cache", None)
+        if cache:
+            for j in range(n):
+                row = cache.get((int(kp.octave[j]), int(kp.level[j]),
+                                 float(kp.coords[j, 0]),
+                                 float(kp.coords[j, 1]),
+                                 float(kp.coords[j, 2])))
+                if row is not None:
+                    data[j], xyz[j], sd_out[j] = row
+                    done[j] = True
+        if done.all():
+            return Descriptors(xyz=xyz, sd=sd_out, data=data)
+
         ndev = self.mesh.shape[self.axis]
         for o in sharded_octs:
-            idxs = np_.nonzero(kp.octave == o)[0]
+            idxs = np_.nonzero((kp.octave == o) & ~done)[0]
+            if len(idxs) == 0:
+                continue
             cnt = len(idxs)
             co_i = np_.rint(kp.coords[idxs]).astype(np_.int32)
             local = plan.octave_dims[o][2] // ndev

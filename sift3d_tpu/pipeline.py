@@ -324,14 +324,18 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params,
         else:
             ospec = oslots(total)
             if _SPARSE_DESC_GROUPS and nl >= 2:
-                # Two descriptor window groups: (level 0) and (levels
-                # 1..nl-1). A group observed empty gets 0 slots (a later
-                # appearance is a hint miss -> exact redo, same as any
-                # other undershoot).
+                # Per-LEVEL descriptor window groups: each level's
+                # windows sized by ITS scale (window volume scales as
+                # sd^3 — the octave-max mixed window spends ~2-4x the
+                # voxels a smaller-scale keypoint needs). A level
+                # observed empty gets 0 slots (a later appearance is a
+                # hint miss -> exact redo, same as any other
+                # undershoot). Orientation stays mixed: its windows are
+                # far smaller and the split did not pay there.
                 def dsl(a):
                     return (0 if a == 0
                             else max(8, _mult_of(a + (a >> hr) + 1, 8)))
-                dslots = (dsl(acc_l[0]), dsl(sum(acc_l[1:])))
+                dslots = tuple(dsl(a) for a in acc_l)
             else:
                 dslots = max(8, _mult_of(acc + (acc >> hr) + 1, 8))
         cfg.append((cap, ospec, dslots))
@@ -383,6 +387,19 @@ def _quantize(desc):
 _DESC_Q_BYTES = DESC_NUMEL // 2 * 3   # 12-bit packed row bytes
 
 
+def _dequant12(desc_q: np.ndarray, desc_scale: np.ndarray,
+               k: int) -> np.ndarray:
+    """Host-side inverse of _quantize for the first k rows."""
+    q = desc_q[:k].reshape(k, -1, 3).astype(np.uint16)
+    v0 = q[:, :, 0] | ((q[:, :, 1] & 0xF) << 8)
+    v1 = (q[:, :, 1] >> 4) | (q[:, :, 2] << 4)
+    desc = np.empty((k, DESC_NUMEL), np.float32)
+    desc[:, 0::2] = v0
+    desc[:, 1::2] = v1
+    desc *= desc_scale[:k][:, None] / np.float32(4095.0)
+    return desc
+
+
 class _DescJob(NamedTuple):
     """One speculative-descriptor extraction unit of the hinted program:
     `slots` keypoint slots on octave `octave`, keypoint levels
@@ -426,16 +443,13 @@ def _desc_jobs(plan: PyramidPlan, cfg: tuple) -> list[_DescJob]:
                     dslots[li] * _desc_window_cost(plan, o, scales[li],
                                                    params),
                     (o, "levels", li)))
-        elif isinstance(dslots, tuple):        # sparse two-group split
-            jobs.append(_DescJob(
-                o, 0, 1, dslots[0],
-                dslots[0] * _desc_window_cost(plan, o, scales[0], params),
-                (o, "groups", 0)))
-            jobs.append(_DescJob(
-                o, 1, nl, dslots[1],
-                dslots[1] * _desc_window_cost(plan, o, max(scales[1:]),
-                                              params),
-                (o, "groups", 1)))
+        elif isinstance(dslots, tuple):        # sparse per-level groups
+            for li in range(nl):
+                jobs.append(_DescJob(
+                    o, li, li + 1, dslots[li],
+                    dslots[li] * _desc_window_cost(plan, o, scales[li],
+                                                   params),
+                    (o, "groups", li)))
         else:                                  # sparse mixed window
             jobs.append(_DescJob(
                 o, 0, nl, dslots,
@@ -569,12 +583,12 @@ def _detect_core(plan: PyramidPlan, cfg: tuple, vmapped: bool):
                 "ls,ks->lk", onehot.astype(jnp.float32),
                 stages(ori).astype(jnp.float32)).astype(jnp.int32)
             if isinstance(dslots, tuple):
-                # Two-group descriptor split (level 0 | levels 1+):
-                # store order is level-segmented, so group order
-                # preserves the reference's candidate order.
+                # Per-level descriptor groups: store order is
+                # level-segmented, so group order preserves the
+                # reference's candidate order.
                 groups = []
-                for lo, hi, ds_g in ((0, 1, dslots[0]),
-                                     (1, nl, dslots[1])):
+                for lo, hi, ds_g in ((li, li + 1, dslots[li])
+                                     for li in range(nl)):
                     gsel = (ori.accepted & (level_s >= lo)
                             & (level_s < hi))
                     idx, dvalid, acc_g = compact_flat(gsel, ds_g)
@@ -1266,13 +1280,7 @@ class SIFT3D:
         if desc_fetch is not None:
             desc_fetch()
         for o, k, lv, co, dref in jobs:
-            q = dref["desc_q"][:k].reshape(k, -1, 3).astype(np.uint16)
-            v0 = q[:, :, 0] | ((q[:, :, 1] & 0xF) << 8)
-            v1 = (q[:, :, 1] >> 4) | (q[:, :, 2] << 4)
-            desc = np.empty((k, DESC_NUMEL), np.float32)
-            desc[:, 0::2] = v0
-            desc[:, 1::2] = v1
-            desc *= (dref["desc_scale"][:k][:, None] / np.float32(4095.0))
+            desc = _dequant12(dref["desc_q"], dref["desc_scale"], k)
             for j in range(k):
                 key = (o, int(lv[j]), float(co[j, 0]), float(co[j, 1]),
                        float(co[j, 2]))

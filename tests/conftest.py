@@ -34,6 +34,38 @@ def rng():
     return np.random.default_rng(20260816)
 
 
+def isolated(fn):
+    """Run this test in a FRESH pytest subprocess (with the persistent
+    compile cache disabled there via env). jaxlib's XLA:CPU compiles
+    segfault intermittently LATE in a long-lived suite process —
+    especially with another JAX process on the box — while standalone
+    runs always pass (observed: test_sharding rounds 2-3,
+    test_registration round 4, both cache-read and compile stacks).
+    The wrapper preserves the signature so fixtures still resolve in
+    the child process."""
+    import functools
+    import os
+    import subprocess
+    import sys
+
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        if os.environ.get("_S3D_ISOLATED") == "1":
+            return fn(*a, **k)
+        env = dict(os.environ)
+        env["_S3D_ISOLATED"] = "1"
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)
+        mod = sys.modules[fn.__module__].__file__
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-x", "-q",
+             f"{os.path.abspath(mod)}::{fn.__name__}"],
+            env=env, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, (
+            f"isolated run failed rc={r.returncode}\n{r.stdout}\n"
+            f"{r.stderr}")
+    return wrapper
+
+
 def disable_persistent_cache_fixture():
     """Module-scope autouse fixture body: turn the on-disk compilation
     cache off for compile-heavy modules. jaxlib's persistent-cache

@@ -49,6 +49,62 @@ def test_moments_kernel_matches_xla_path():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_moments_kernel_z_view_matches_xla():
+    """VERDICT r3 #6: the moments kernel under the z_view contract (a
+    local z-slab with global coordinates — the shard_map orientation
+    body) must match BOTH the XLA z_view path and the full-volume
+    kernel for keypoints owned by the slab."""
+    from sift3d_tpu.orientation import _window_moments
+    from sift3d_tpu.ops.ori_kernel import ori_moments_pallas
+    from sift3d_tpu.windows import window_extent
+
+    p = DetectorParams()
+    plan = make_plan((48, 48, 96), (1.0, 1.0, 1.0), p)
+    rng = np.random.default_rng(11)
+    level = jnp.asarray(rng.normal(size=(48, 48, 96)).astype(np.float32))
+    sd = float(plan.scales[0][1])
+    rad = p.ori_sig_fctr * sd * p.ori_rad_fctr
+    extents = tuple(window_extent(rad / 1.0, n) for n in (48, 48, 96))
+    Gz = extents[2]
+
+    # slab owning global z in [32, 64), halo-extended by Gz each side
+    zlo = 32
+    origin = zlo - Gz
+    slab = jax.lax.dynamic_slice(
+        jnp.pad(level, ((0, 0), (0, 0), (Gz, Gz))),
+        (0, 0, zlo), (48, 48, 32 + 2 * Gz))
+
+    K = 8
+    coords = np.stack([rng.integers(2, 46, K), rng.integers(2, 46, K),
+                       rng.integers(zlo, zlo + 32, K)],
+                      axis=1).astype(np.int32)
+    coords = jnp.asarray(coords)
+    centers = coords.astype(jnp.float32)
+    sd_arr = jnp.full((K,), jnp.float32(sd))
+    fp = jnp.concatenate([centers, sd_arr[:, None]], axis=-1)
+    lvl = jnp.zeros((K,), jnp.int32)
+
+    A_full, vd_full = ori_moments_pallas(
+        level[None], lvl, coords, fp, extents, (1.0, 1.0, 1.0), p,
+        interpret=True)
+    A_zv, vd_zv = ori_moments_pallas(
+        slab[None], lvl, coords, fp, extents, (1.0, 1.0, 1.0), p,
+        interpret=True, z_origin=jnp.int32(origin), global_nz=96)
+    np.testing.assert_allclose(np.asarray(A_zv), np.asarray(A_full),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vd_zv), np.asarray(vd_full),
+                               rtol=2e-4, atol=2e-5)
+
+    A_ref, vd_ref = jax.vmap(
+        lambda co, ce, s: _window_moments(
+            slab, co, ce, s, (1.0, 1.0, 1.0), extents, p,
+            z_view=(origin, 96)))(coords, centers, sd_arr)
+    np.testing.assert_allclose(np.asarray(A_zv), np.asarray(A_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vd_zv), np.asarray(vd_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_moments_kernel_odd_shape():
     """Non-multiple-of-8 y / non-multiple-of-128 z exercise the pad and
     y-start-alignment paths."""

