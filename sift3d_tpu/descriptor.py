@@ -366,14 +366,29 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
             args)
 
     args = (coords, centers, R, sd_arr, level_index, valid)
-    if K <= kp_chunk:
+    Kp = K
+    if K > kp_chunk and K % kp_chunk:
+        # Pad to a whole number of packs with invalid slots (they sort
+        # to the tail and their packs skip entirely). Exact slot counts
+        # (tight hinted configs) need not align to the pack size.
+        pad = kp_chunk - K % kp_chunk
+        Kp = K + pad
+
+        def padded(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+
+        args = tuple(padded(a) for a in args)
+        if perm is None and lvl_arg:
+            pass  # sorted path above would have handled it
+    if Kp <= kp_chunk:
         hists = chunk_fn(args)
     else:
-        assert K % kp_chunk == 0, (K, kp_chunk)
         def reshape(x):
-            return x.reshape((K // kp_chunk, kp_chunk) + x.shape[1:])
+            return x.reshape((Kp // kp_chunk, kp_chunk) + x.shape[1:])
         out = jax.lax.map(chunk_fn_skip, tuple(reshape(a) for a in args))
-        hists = out.reshape(K, *out.shape[2:])
+        hists = out.reshape(Kp, *out.shape[2:])
+    hists = hists[:K]
     if perm is not None:
         hists = hists[jnp.argsort(perm)]
     nb = NHIST_PER_DIM

@@ -332,9 +332,17 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params,
                 # hint miss -> exact redo, same as any other
                 # undershoot). Orientation stays mixed: its windows are
                 # far smaller and the split did not pay there.
+                # tight (stable workload): EXACT slots + 1 — descriptor
+                # cost is ~linear in slots (prep ~135 us/slot at 75^3
+                # windows, tools/prep_micro.py), so pack-size rounding
+                # padding is real money; the extractor pads internally
+                # to the kernel pack where needed.
                 def dsl(a):
-                    return (0 if a == 0
-                            else max(8, _mult_of(a + (a >> hr) + 1, 8)))
+                    if a == 0:
+                        return 0
+                    if tight:
+                        return a + 1
+                    return max(8, _mult_of(a + (a >> hr) + 1, 8))
                 dslots = tuple(dsl(a) for a in acc_l)
             else:
                 dslots = max(8, _mult_of(acc + (acc >> hr) + 1, 8))
@@ -849,20 +857,34 @@ def _detect_split_packed_fn(plan: PyramidPlan, cfg: tuple):
                    jax.ShapeDtypeStruct(plan.input_dims, jnp.float32))
 
     def make_chunk(spans):
-        def run_c(gpyr, desc_args):
+        # Narrow signature: exactly the octave stacks and job tuples this
+        # chunk touches (dispatch-side pytree flattening of the full
+        # gpyr + all job args measured ~0.5 ms/call of host time).
+        octs = sorted({jobs[ji].octave for ji, _, _ in spans})
+        jis = sorted({ji for ji, _, _ in spans})
+        o_pos = {o: i for i, o in enumerate(octs)}
+        j_pos = {ji: i for i, ji in enumerate(jis)}
+
+        def run_c(gp_sub, args_sub):
             parts = []
             for (ji, lo, hi) in spans:
                 job = jobs[ji]
-                co, R, dv, lvk = desc_args[ji]
+                co, R, dv, lvk = args_sub[j_pos[ji]]
                 desc = _desc_job_compute(
-                    plan, job, gpyr[job.octave], co[lo:hi], R[lo:hi],
-                    dv[lo:hi], lvk[lo:hi])
+                    plan, job, gp_sub[o_pos[job.octave]], co[lo:hi],
+                    R[lo:hi], dv[lo:hi], lvk[lo:hi])
                 dq, ds = _quantize(desc)
                 parts.append(dq.reshape(-1))
                 parts.append(
                     jax.lax.bitcast_convert_type(ds, jnp.uint8).reshape(-1))
             return jnp.concatenate(parts)
-        return jax.jit(run_c)
+
+        fn = jax.jit(run_c)
+
+        def call(gpyr, desc_args):
+            return fn([gpyr[o] for o in octs],
+                      [desc_args[ji] for ji in jis])
+        return call
 
     chunk_fns = [make_chunk(spans) for spans in chunks]
     return fn_a, chunk_fns, meta_box["meta"], jobs, chunks
