@@ -126,14 +126,25 @@ def _sample_distinct4(key, num_iter: int, n_valid):
 
 
 def _ransac_core(src, dst, valid, n_valid, key, num_iter: int,
-                 err_thresh: float):
+                 err_thresh: float, w=None):
     """src, dst: f32[M, 3] (rows >= n_valid are padding); valid: bool[M].
     Finds affine A (3x4) minimizing ||A [src;1] - dst|| over the best
     consensus set. M is a power-of-two bucket; n_valid is traced so the
-    compilation is shared across actual correspondence counts."""
+    compilation is shared across actual correspondence counts.
+
+    w (optional f32[M]): per-correspondence precision weights for the
+    consensus REFIT (hypothesis sampling and inlier counting stay
+    unweighted). Keypoint coordinates are integer at octave resolution,
+    so an octave-o correspondence carries ~4^o the position variance of
+    an octave-0 one; weighting the refit by 1/4^o recovers sub-voxel
+    affines from mixed-octave consensus sets that an unweighted fit
+    lets coarse matches drag to ~2 voxels (measured 2.35 -> sub-voxel
+    corner error at 192^3, tools/bench_registration.py)."""
     M = src.shape[0]
     ones = jnp.ones((M, 1), jnp.float32)
     X = jnp.concatenate([src, ones], axis=1)          # [M, 4]
+    if w is None:
+        w = jnp.ones((M,), jnp.float32)
 
     idx = _sample_distinct4(key, num_iter, n_valid)
 
@@ -157,11 +168,12 @@ def _ransac_core(src, dst, valid, n_valid, key, num_iter: int,
     best = jnp.argmax(counts)
     best_inl = inl[best]
 
-    # Iteratively refit on the consensus set via masked normal equations:
-    # each refit tightens the model, which can admit more inliers.
+    # Iteratively refit on the consensus set via masked WEIGHTED normal
+    # equations: each refit tightens the model, which can admit more
+    # inliers.
     def refit(inl, _):
-        w = inl.astype(jnp.float32)[:, None]
-        Xw = X * w
+        wc = (inl.astype(jnp.float32) * w)[:, None]
+        Xw = X * wc
         AtA = Xw.T @ X + 1e-8 * jnp.eye(4, dtype=jnp.float32)
         AtY = Xw.T @ dst
         A_r = jnp.linalg.solve(AtA, AtY)               # [4, 3]
@@ -181,16 +193,19 @@ _ransac_jit = jax.jit(_ransac_core, static_argnames=("num_iter",
 
 @functools.partial(jax.jit, static_argnames=("nn_thresh", "num_iter",
                                              "err_thresh"))
-def _register_pairs_jit(d1, x1, v1, d2, x2, v2, key, nn_thresh: float,
-                        num_iter: int, err_thresh: float):
+def _register_pairs_jit(d1, x1, q1, v1, d2, x2, q2, v2, key,
+                        nn_thresh: float, num_iter: int,
+                        err_thresh: float):
     """Fused match + RANSAC for B pairs in ONE dispatch (config 5: the
     per-pair jits each cost an upload + two RTT syncs on a high-latency
     link — batched they cost one of each for the whole batch).
 
     d1/d2: f32[B, M1/M2, 768] descriptors; x1/x2: f32[B, M1/M2, 3] base
-    coords; v1/v2: validity masks. Per pair: Lowe-ratio matching
-    (_match_core), in-jit compaction of the accepted rows to a prefix
-    (the RANSAC sampler draws from the valid prefix), then _ransac_core.
+    coords; q1/q2: f32[B, M] per-keypoint position variances (4^octave
+    — integer coords at octave resolution); v1/v2: validity masks. Per
+    pair: Lowe-ratio matching (_match_core), in-jit compaction of the
+    accepted rows to a prefix (the RANSAC sampler draws from the valid
+    prefix), then _ransac_core with 1/(q_src + q_dst) refit weights.
     Numerics are identical to the per-pair path: same distance matrix,
     same compacted correspondence order (match index order), same key.
     """
@@ -198,16 +213,17 @@ def _register_pairs_jit(d1, x1, v1, d2, x2, v2, key, nn_thresh: float,
 
     M1 = d1.shape[1]
 
-    def pair(d1b, x1b, v1b, d2b, x2b, v2b):
+    def pair(d1b, x1b, q1b, v1b, d2b, x2b, q2b, v2b):
         best_idx, ok = _match_core(d1b, d2b, v1b, v2b, nn_thresh)
         cidx, cvalid, n = compact_flat(ok, M1)
         src = jnp.where(cvalid[:, None], x1b[cidx], 0.0)
         dst = jnp.where(cvalid[:, None], x2b[best_idx[cidx]], 0.0)
+        wr = 1.0 / (q1b[cidx] + q2b[best_idx[cidx]])
         A, n_inl, inl = _ransac_core(src, dst, cvalid, n, key, num_iter,
-                                     err_thresh)
+                                     err_thresh, w=wr)
         return A, n, n_inl, inl, src, dst
 
-    return jax.vmap(pair)(d1, x1, v1, d2, x2, v2)
+    return jax.vmap(pair)(d1, x1, q1, v1, d2, x2, q2, v2)
 
 
 @dataclasses.dataclass
@@ -222,8 +238,11 @@ class RegistrationResult:
 
 def ransac_affine(src_pts: np.ndarray, dst_pts: np.ndarray,
                   err_thresh: float = 5.0, num_iter: int = 500,
-                  seed: int = 0):
-    """Robust affine fit dst ~ A [src; 1]. Returns (A [3,4], inlier mask)."""
+                  seed: int = 0, weights=None):
+    """Robust affine fit dst ~ A [src; 1]. Returns (A [3,4], inlier mask).
+
+    weights (optional f32[M]): per-correspondence precision weights for
+    the consensus refit (see _ransac_core)."""
     src_pts = np.asarray(src_pts, np.float32)
     dst_pts = np.asarray(dst_pts, np.float32)
     M = len(src_pts)
@@ -232,11 +251,15 @@ def ransac_affine(src_pts: np.ndarray, dst_pts: np.ndarray,
     Mb = _pow2_bucket(M)
     valid = np.zeros(Mb, bool)
     valid[:M] = True
+    w = None
+    if weights is not None:
+        w = jnp.asarray(_pad_rows(
+            np.asarray(weights, np.float32)[:, None], Mb)[:, 0])
     A, n_inl, mask = _ransac_jit(
         jnp.asarray(_pad_rows(src_pts, Mb)),
         jnp.asarray(_pad_rows(dst_pts, Mb)), jnp.asarray(valid),
         jnp.int32(M), jax.random.PRNGKey(seed), int(num_iter),
-        float(err_thresh))
+        float(err_thresh), w)
     return np.asarray(A), np.asarray(mask)[:M]
 
 
@@ -289,7 +312,11 @@ def register(fixed, moving, params=None, nn_thresh: float = 0.8,
     idx_m, idx_f = match_descriptors(ds_m, ds_f, nn_thresh)
     pts_m = ds_m.xyz[idx_m]
     pts_f = ds_f.xyz[idx_f]
-    A, inl = ransac_affine(pts_m, pts_f, err_thresh, num_iter, seed)
+    # refit weights: integer keypoint coords at octave resolution carry
+    # 4^o position variance (see _ransac_core)
+    q = (4.0 ** kp_m.octave[idx_m] + 4.0 ** kp_f.octave[idx_f])
+    A, inl = ransac_affine(pts_m, pts_f, err_thresh, num_iter, seed,
+                           weights=1.0 / q)
     return RegistrationResult(
         affine=A, num_matches=len(idx_m), num_inliers=int(inl.sum()),
         matches_fixed=pts_f, matches_moving=pts_m, inlier_mask=inl)
@@ -334,20 +361,27 @@ def register_batch(fixed_vols, moving_vols, params=None,
     M1 = _pow2_bucket(max(max(n_m), 1))
     M2 = _pow2_bucket(max(max(n_f), 1))
 
-    def stack(ds_list, M):
+    def stack(ds_list, kp_list, M):
         d = np.stack([_pad_rows(np.asarray(ds.data, np.float32), M)
                       for ds in ds_list])
         x = np.stack([_pad_rows(np.asarray(ds.xyz, np.float32), M)
                       for ds in ds_list])
+        # per-keypoint position variance 4^octave (refit weights); pad
+        # rows get 1.0 so the weight expression stays finite
+        q = np.ones((B, M), np.float32)
         v = np.zeros((B, M), bool)
-        for b, ds in enumerate(ds_list):
+        for b, (ds, kp) in enumerate(zip(ds_list, kp_list)):
             v[b, :len(ds)] = True
-        return jnp.asarray(d), jnp.asarray(x), jnp.asarray(v)
+            q[b, :len(ds)] = 4.0 ** kp.octave
+        return jnp.asarray(d), jnp.asarray(x), jnp.asarray(q), \
+            jnp.asarray(v)
 
-    d1, x1, v1 = stack([dss[B + b] for b in range(B)], M1)
-    d2, x2, v2 = stack([dss[b] for b in range(B)], M2)
+    d1, x1, q1, v1 = stack([dss[B + b] for b in range(B)],
+                           [kps[B + b] for b in range(B)], M1)
+    d2, x2, q2, v2 = stack([dss[b] for b in range(B)],
+                           [kps[b] for b in range(B)], M2)
     A_b, n_b, ninl_b, inl_b, src_b, dst_b = jax.device_get(
-        _register_pairs_jit(d1, x1, v1, d2, x2, v2,
+        _register_pairs_jit(d1, x1, q1, v1, d2, x2, q2, v2,
                             jax.random.PRNGKey(seed), float(nn_thresh),
                             int(num_iter), float(err_thresh)))
 

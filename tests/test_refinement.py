@@ -5,7 +5,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from conftest import make_phantom
+from conftest import isolated, make_phantom
 from sift3d_tpu.params import DetectorParams
 from sift3d_tpu.refinement import refine_candidates
 
@@ -59,6 +59,7 @@ def test_edge_rejection_plate_vs_blob():
     assert bool(ok_blob[0]) and not bool(ok_plate[0])
 
 
+@isolated
 def test_pipeline_with_extensions():
     """BASELINE config 2: full refinement on a phantom — refined coordinates
     are fractional, scales move off the level grid, descriptors still
@@ -82,6 +83,7 @@ def test_pipeline_with_extensions():
     assert np.all((np.abs(norms - 1.0) < 1e-3) | (norms == 0.0))
 
 
+@isolated
 def test_refined_coords_near_integer_candidates():
     import sift3d_tpu as s3d
     vol = make_phantom(48, nblobs=40, seed=11)

@@ -121,6 +121,37 @@ def main(argv=None):
             "matches": res.num_matches, "inliers": res.num_inliers,
         }))
 
+        # Accuracy configuration: subvoxel-refined keypoints (the
+        # standard SIFT accuracy setup; the TIP-2017 reference paper's
+        # registration evaluation). Integer-coordinate keypoints bound
+        # the default config's affine at ~1.7 voxels even with
+        # octave-precision-weighted refits; fractional coordinates
+        # recover sub-voxel affines. Reported separately because the
+        # refined path runs the per-stage (non-speculative) pipeline.
+        from sift3d_tpu.params import DetectorParams
+        pr = DetectorParams(refine_subvoxel=True)
+        dets_r = (SIFT3D(pr), SIFT3D(pr))
+        t0 = time.perf_counter()
+        res_r = register(fixed, moving, num_iter=500, detectors=dets_r)
+        cold_r = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res_r = register(fixed, moving, num_iter=500, detectors=dets_r)
+        ms_r = (time.perf_counter() - t0) * 1e3
+        print(f"# subvoxel config cold {cold_r:.1f} s", file=sys.stderr)
+        err_r = affine_corner_error(res_r.affine, A_true, n)
+        if not err_r < 1.0:
+            print(f"# WARNING: subvoxel affine recovery error "
+                  f"{err_r:.3f} vox >= 1.0", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"{n}^3 pair registration accuracy "
+                      f"(subvoxel refine)",
+            "value": round(err_r, 3), "unit": "vox",
+            "accuracy_ok": bool(err_r < 1.0),
+            "latency_ms": round(ms_r, 2),
+            "matches": res_r.num_matches,
+            "inliers": res_r.num_inliers,
+        }))
+
     if args.skip_batch:
         return
 
