@@ -409,7 +409,7 @@ def _normalize(hist: jnp.ndarray, params: DetectorParams) -> jnp.ndarray:
 def extract_descriptors(level: jnp.ndarray, coords: jnp.ndarray,
                         R: jnp.ndarray, valid: jnp.ndarray, sd,
                         octave: int, units: tuple[float, float, float],
-                        params: DetectorParams, kp_chunk: int = 8,
+                        params: DetectorParams, kp_chunk: int = 16,
                         vox_chunk: int = 65536,
                         centers: jnp.ndarray | None = None,
                         sd_max: float | None = None,

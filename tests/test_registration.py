@@ -10,6 +10,7 @@ _no_persistent_cache = pytest.fixture(autouse=True, scope="module")(
     disable_persistent_cache_fixture)
 
 
+@isolated
 def test_ransac_synthetic_outliers():
     from sift3d_tpu.registration import ransac_affine
     rng = np.random.default_rng(0)
@@ -31,6 +32,7 @@ def test_ransac_too_few_points():
         ransac_affine(np.zeros((3, 3)), np.zeros((3, 3)))
 
 
+@isolated
 def test_match_descriptors_identity():
     from sift3d_tpu.keypoints import Descriptors
     from sift3d_tpu.registration import match_descriptors
@@ -49,6 +51,7 @@ def test_match_descriptors_identity():
     assert np.array_equal(perm[i2], i1)
 
 
+@isolated
 def test_sample_distinct4():
     """RANSAC minimal samples must be 4 distinct in-range indices per
     hypothesis (a repeated index wastes the hypothesis on a singular
@@ -86,6 +89,7 @@ def _match_bruteforce(d1, d2, nn_thresh=0.8):
     return np.asarray(out1, np.int64), np.asarray(out2, np.int64)
 
 
+@isolated
 def test_match_descriptors_vs_bruteforce():
     """The MXU-matmul matcher must produce the identical match set to an
     exhaustive NumPy matcher on a noisy fixture with distractors."""
@@ -113,6 +117,7 @@ def test_match_descriptors_vs_bruteforce():
     assert np.array_equal(i2, j2)
 
 
+@isolated
 def test_ransac_vs_lstsq_clean():
     """On outlier-free correspondences RANSAC must keep every point and
     agree with a direct NumPy least-squares affine fit."""
@@ -132,6 +137,7 @@ def test_ransac_vs_lstsq_clean():
     np.testing.assert_allclose(A_est, A_np, atol=5e-3)
 
 
+@isolated
 def test_warp_identity():
     from sift3d_tpu.registration import warp_volume
     from sift3d_tpu.volume import Volume
