@@ -267,8 +267,11 @@ _SPARSE_DESC_GROUPS = True
 _SPLIT_DESC_CHUNKS = 4
 
 # Don't split below this per-chunk window-voxel cost: tiny descriptor
-# workloads pay per-dispatch overhead without hiding anything.
-_MIN_CHUNK_COST = 6_000_000
+# workloads pay per-dispatch overhead (~0.3-0.5 ms host each) without
+# hiding anything. Sized so the sparse bench's ~14 Mvox workload still
+# gets 4 chunks — the LAST chunk's bytes are the only serial stream
+# tail, so more chunks shrink it.
+_MIN_CHUNK_COST = 3_500_000
 
 
 def _hint_cfg(plan: PyramidPlan, hint: dict, params,
