@@ -119,6 +119,12 @@ def register_main(argv=None) -> int:
     result = register(fixed, moving, nn_thresh=args.nn_thresh,
                       err_thresh=args.err_thresh, num_iter=args.num_iter)
     print(f"matches: {result.num_matches}  inliers: {result.num_inliers}")
+    if result.affine is None:
+        print(f"Registration failed: only {result.num_matches} "
+              "descriptor matches (need at least 4 to fit an affine). "
+              "Try raising --nn-thresh or using richer volumes.",
+              file=sys.stderr)
+        return 1
     np.set_printoptions(precision=6, suppress=True)
     print("affine (moving -> fixed):")
     print(result.affine)

@@ -228,7 +228,10 @@ def _register_pairs_jit(d1, x1, q1, v1, d2, x2, q2, v2, key,
 
 @dataclasses.dataclass
 class RegistrationResult:
-    affine: np.ndarray       # f32[3, 4], maps moving voxel coords -> fixed
+    # f32[3, 4], maps moving voxel coords -> fixed; None when fewer than
+    # 4 correspondences survived matching (register/register_batch/
+    # ransac_affine share this convention — no path raises on it)
+    affine: np.ndarray | None
     num_matches: int
     num_inliers: int
     matches_fixed: np.ndarray   # f32[M, 3] matched fixed-volume coords
@@ -241,13 +244,17 @@ def ransac_affine(src_pts: np.ndarray, dst_pts: np.ndarray,
                   seed: int = 0, weights=None):
     """Robust affine fit dst ~ A [src; 1]. Returns (A [3,4], inlier mask).
 
+    Fewer than 4 correspondences cannot constrain an affine: returns
+    (None, all-False mask) — the same degraded-result convention as
+    register()/register_batch() (one API, one failure mode).
+
     weights (optional f32[M]): per-correspondence precision weights for
     the consensus refit (see _ransac_core)."""
     src_pts = np.asarray(src_pts, np.float32)
     dst_pts = np.asarray(dst_pts, np.float32)
     M = len(src_pts)
     if M < 4:
-        raise ValueError(f"RANSAC needs at least 4 correspondences, got {M}")
+        return None, np.zeros(M, bool)
     Mb = _pow2_bucket(M)
     valid = np.zeros(Mb, bool)
     valid[:M] = True
@@ -306,6 +313,15 @@ def register(fixed, moving, params=None, nn_thresh: float = 0.8,
     if kp_limit:
         kp_f = kp_f.sort_by_strength(kp_limit)
         kp_m = kp_m.sort_by_strength(kp_limit)
+    if len(kp_f) == 0 or len(kp_m) == 0:
+        # a featureless volume cannot be registered; degrade the same
+        # way <4 matches does (extract_descriptors itself would raise,
+        # mirroring the reference's verify_keys, sift.c:1171-1212)
+        empty = np.zeros((0, 3), np.float32)
+        return RegistrationResult(
+            affine=None, num_matches=0, num_inliers=0,
+            matches_fixed=empty, matches_moving=empty,
+            inlier_mask=np.zeros(0, bool))
     ds_f = det_f.extract_descriptors(kp_f)
     ds_m = det_m.extract_descriptors(kp_m)
 
@@ -318,7 +334,8 @@ def register(fixed, moving, params=None, nn_thresh: float = 0.8,
     A, inl = ransac_affine(pts_m, pts_f, err_thresh, num_iter, seed,
                            weights=1.0 / q)
     return RegistrationResult(
-        affine=A, num_matches=len(idx_m), num_inliers=int(inl.sum()),
+        affine=A, num_matches=len(idx_m),
+        num_inliers=int(inl.sum()) if A is not None else 0,
         matches_fixed=pts_f, matches_moving=pts_m, inlier_mask=inl)
 
 

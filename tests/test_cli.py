@@ -47,3 +47,28 @@ def test_param_flags(image, tmp_path):
     kpath = tmp_path / "k2.csv"
     assert main(["--keys", str(kpath), "--peak-thresh", "0.2",
                  "--corner-thresh", "0.5", str(image)]) == 0
+
+
+def test_regsift3d_unmatchable(tmp_path):
+    """regsift3d on a pair with <4 descriptor matches prints a message
+    and exits nonzero — no crash even when --matrix/--warped were
+    requested (the affine is None; nothing is written)."""
+    from sift3d_tpu.cli import register_main
+    from sift3d_tpu.volume import Volume
+
+    rng = np.random.default_rng(0)
+    fpath = tmp_path / "fixed.nii.gz"
+    mpath = tmp_path / "moving.nii.gz"
+    write_volume(fpath, make_phantom(32, nblobs=5, seed=1))
+    write_volume(mpath, Volume.from_array(
+        rng.normal(size=(24, 24, 24)).astype(np.float32)))
+    matrix = tmp_path / "A.csv"
+    warped = tmp_path / "w.nii.gz"
+    rc = register_main([str(fpath), str(mpath), "--num-iter", "50",
+                        "--matrix", str(matrix), "--warped", str(warped)])
+    # noise against a phantom: matches are (almost) always <4; if the rng
+    # ever produced >=4 spurious matches the run must instead succeed
+    if rc != 0:
+        assert not matrix.exists() and not warped.exists()
+    else:
+        assert matrix.exists()

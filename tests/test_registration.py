@@ -27,9 +27,32 @@ def test_ransac_synthetic_outliers():
 
 
 def test_ransac_too_few_points():
+    """<4 correspondences return (None, all-False) — the same degraded
+    convention as register()/register_batch(); no path raises."""
     from sift3d_tpu.registration import ransac_affine
-    with pytest.raises(ValueError):
-        ransac_affine(np.zeros((3, 3)), np.zeros((3, 3)))
+    A, mask = ransac_affine(np.zeros((3, 3)), np.zeros((3, 3)))
+    assert A is None
+    assert mask.shape == (3,) and not mask.any()
+    A, mask = ransac_affine(np.zeros((0, 3)), np.zeros((0, 3)))
+    assert A is None and mask.shape == (0,)
+
+
+@isolated
+def test_register_unmatchable_legacy_path():
+    """register() on a DIFFERENT-shape pair (the legacy per-stage path)
+    with no real correspondences returns affine=None instead of raising
+    from ransac_affine — one API, one failure mode."""
+    from sift3d_tpu.registration import register
+
+    rng = np.random.default_rng(3)
+    fixed = make_phantom(32, nblobs=5, seed=1)
+    moving = rng.normal(size=(24, 24, 24)).astype(np.float32)
+    r = register(fixed, moving, num_iter=50)
+    if r.num_matches < 4:
+        assert r.affine is None and r.num_inliers == 0
+        assert not r.inlier_mask.any()
+    else:
+        assert r.affine is None or np.isfinite(r.affine).all()
 
 
 @isolated
