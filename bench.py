@@ -34,10 +34,15 @@ def make_bench_volume(n: int) -> np.ndarray:
     draw order matches the original formulation, so the phantom is
     unchanged up to f64 rounding. Volumes are cached under .bench_cache/.
     """
-    cache = REPO / ".bench_cache" / f"phantom_{n}.npy"
+    return _make_phantom(n, 42)
+
+
+def _make_phantom(n: int, seed: int) -> np.ndarray:
+    cache = REPO / ".bench_cache" / (
+        f"phantom_{n}.npy" if seed == 42 else f"phantom_{n}_s{seed}.npy")
     if cache.exists():
         return np.load(cache)
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
     ax = np.arange(n, dtype=np.float64)
     vol = np.zeros((n, n, n), dtype=np.float32)
     for _ in range(150):
@@ -119,6 +124,42 @@ def bench_tpu(vol: np.ndarray, repeats: int, overrides=None):
     return min(times), len(kp), len(desc)
 
 
+def bench_varied(n: int, repeats: int, overrides=None, nvols: int = 4):
+    """Steady-state latency for a stream of DIFFERENT same-shape volumes
+    (the production workload the same-volume headline cannot show): one
+    detector cycles nvols distinct phantoms; the hint envelope
+    (params.hint_history) sizes one compiled configuration to the
+    stream's recent peak. Returns (mean_ms, min_ms, misses, detections,
+    per-volume keypoint counts) over the timed cycles."""
+    import jax
+    import sift3d_tpu as s3d
+    from sift3d_tpu.params import DetectorParams
+    from sift3d_tpu.volume import Volume
+
+    det = s3d.SIFT3D(DetectorParams(**(overrides or {})))
+    vols = [Volume.from_array(_make_phantom(n, 42 + i))
+            for i in range(nvols)]
+    for v in vols:
+        jax.block_until_ready(v.data)
+
+    def run(v):
+        kp = det.detect_keypoints(v)
+        return kp, det.extract_descriptors(kp)
+
+    kps = []
+    for _ in range(3):       # learn the envelope; compile hinted + tight
+        kps = [len(run(v)[0]) for v in vols]
+    m0 = det._hint_misses
+    times = []
+    for _ in range(repeats):
+        for v in vols:
+            t0 = time.perf_counter()
+            run(v)
+            times.append((time.perf_counter() - t0) * 1e3)
+    return (float(np.mean(times)), float(np.min(times)),
+            det._hint_misses - m0, len(times), kps)
+
+
 def bench_oracle(vol: np.ndarray, tag: str = ""):
     """Wall time of the C reference on the same workload (detect + extract
     on all keypoints), or None if unavailable. The measurement is cached on
@@ -164,6 +205,9 @@ def main(argv=None) -> int:
     ap.add_argument("--registration", action="store_true",
                     help="additionally emit registration benchmark JSON "
                          "lines (BASELINE configs 4-5)")
+    ap.add_argument("--varied", action="store_true",
+                    help="additionally emit the varied-volume steady-state "
+                         "JSON line (4 distinct phantoms, one detector)")
     ap.add_argument("--param", action="append", default=[],
                     metavar="K=V", help="DetectorParams override (A/B "
                     "experiments), e.g. --param conv_precision=highest")
@@ -205,6 +249,19 @@ def main(argv=None) -> int:
         "unit": "ms",
         "vs_baseline": round(vs, 3),
     }))
+
+    if args.varied:
+        mean_ms, min_ms, misses, dets, kps = bench_varied(
+            args.size, max(args.repeats // 3, 3), overrides)
+        print(f"# varied stream: mean {mean_ms:.2f} ms  min {min_ms:.2f} "
+              f"ms  hint misses {misses}/{dets}  keypoints={kps}",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": f"{args.size}^3 varied-stream latency (4 volumes)",
+            "value": round(mean_ms, 3),
+            "unit": "ms",
+            "vs_baseline": round((ref_ms or 50.0) / mean_ms, 3),
+        }))
 
     if args.registration:
         # BASELINE configs 4-5 (extra JSON lines, opt-in so the default

@@ -166,7 +166,8 @@ class OctaveCandidates(NamedTuple):
 
 def detect_extrema_octave(dog_oct: jnp.ndarray, params: DetectorParams,
                           capacity: int,
-                          use_pallas: bool | None = None
+                          use_pallas: bool | None = None,
+                          dogmax: jnp.ndarray | None = None
                           ) -> OctaveCandidates:
     """Extrema for all keypoint levels of one octave in one fused pass.
 
@@ -177,6 +178,11 @@ def detect_extrema_octave(dog_oct: jnp.ndarray, params: DetectorParams,
     full-dims tiles (the XLA shifted-slice formulation materializes its
     comparison operands, ~7x the bandwidth floor); pass use_pallas=False
     from vmapped callers.
+
+    dogmax (optional f32[num_dog_levels]): per-DoG-level max |DoG| as
+    produced by the chain builder's fused per-tile max output — skips
+    the threshold pre-pass's full re-read of the DoG. Bit-identical to
+    the recompute (max of the same f32 values; order-free).
     """
     Ld = dog_oct.shape[0]
     nl = Ld - 2                      # keypoint levels
@@ -195,11 +201,15 @@ def detect_extrema_octave(dog_oct: jnp.ndarray, params: DetectorParams,
             interpret = impl == "interpret"
     if use_pallas:
         return _detect_extrema_octave_pallas(dog_oct, params, capacity,
-                                             interpret=interpret)
+                                             interpret=interpret,
+                                             dogmax=dogmax)
 
     cur = dog_oct[1:Ld - 1]          # [nl, ...]
-    dogmax = jnp.max(jnp.abs(cur), axis=(1, 2, 3))
-    peak = (jnp.float32(params.peak_thresh) * dogmax)[:, None, None, None]
+    if dogmax is None:
+        dmax_l = jnp.max(jnp.abs(cur), axis=(1, 2, 3))
+    else:
+        dmax_l = dogmax[1:Ld - 1]
+    peak = (jnp.float32(params.peak_thresh) * dmax_l)[:, None, None, None]
 
     def sh(a, dx, dy, dz):
         return a[:, 1 + dx: nx - 1 + dx, 1 + dy: ny - 1 + dy,
@@ -258,7 +268,8 @@ def detect_extrema_octave(dog_oct: jnp.ndarray, params: DetectorParams,
 def _detect_extrema_octave_pallas(dog_oct: jnp.ndarray,
                                   params: DetectorParams,
                                   capacity: int,
-                                  interpret: bool = False
+                                  interpret: bool = False,
+                                  dogmax: jnp.ndarray | None = None
                                   ) -> OctaveCandidates:
     """Pallas-stencil variant of detect_extrema_octave: identical
     candidate set and order. The kernel emits a full-dims int8 mask with
@@ -270,8 +281,9 @@ def _detect_extrema_octave_pallas(dog_oct: jnp.ndarray,
     Ld = dog_oct.shape[0]
     nx, ny, nz = dog_oct.shape[1:]
     cur = dog_oct[1:Ld - 1]
-    dogmax = jnp.max(jnp.abs(cur), axis=(1, 2, 3))
-    thr = (jnp.float32(params.peak_thresh) * dogmax).astype(jnp.float32)
+    dmax_l = (jnp.max(jnp.abs(cur), axis=(1, 2, 3)) if dogmax is None
+              else dogmax[1:Ld - 1])
+    thr = (jnp.float32(params.peak_thresh) * dmax_l).astype(jnp.float32)
 
     mask = extrema_mask_pallas(dog_oct, thr, cuboid=params.cuboid_extrema,
                                interpret=interpret)

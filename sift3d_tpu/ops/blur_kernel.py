@@ -118,13 +118,13 @@ def _chain_kernel(*args, TX, TY, nz, HX, HY, lox, loy, gi, gj,
     the blocked output mapped to buf[dst], with dog[dst-1] = src - blurred
     as the free second output."""
     if step:
-        (buf_hbm, dog_hbm, wx_ref, wy_ref, wz_ref,
-         buf_out, dog_out, slab, tmp1, tmp2, sem) = args
-        del dog_hbm  # aliased through to dog_out; never read
+        (buf_hbm, dog_hbm, dmax_hbm, wx_ref, wy_ref, wz_ref,
+         buf_out, dog_out, dmax_out, slab, tmp1, tmp2, sem) = args
+        del dog_hbm, dmax_hbm  # aliased through to outputs; never read
         src = buf_hbm.at[src_idx]
     else:
         (src, wx_ref, wy_ref, wz_ref,
-         buf_out, dog_out, slab, tmp1, tmp2, sem) = args
+         buf_out, dog_out, dmax_out, slab, tmp1, tmp2, sem) = args
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -159,15 +159,23 @@ def _chain_kernel(*args, TX, TY, nz, HX, HY, lox, loy, gi, gj,
         precision=jax.lax.Precision.HIGHEST).reshape(TX, TY, nz)
     buf_out[0] = out
     if emit_dog:
-        dog_out[0] = slab[pl.ds(HX, TX), pl.ds(HY, TY)] - out
+        dog = slab[pl.ds(HX, TX), pl.ds(HY, TY)] - out
+        dog_out[0] = dog
+        # Free per-tile max |DoG|: the extrema threshold pre-pass
+        # (peak_thresh * level max |DoG|, sift.c:821-829) otherwise
+        # re-reads the whole DoG the chain just wrote. The tiny
+        # [L-1, nx/8, ny/8] block buffer reduces to per-level maxima in
+        # XLA for free (z-pad margins are zero, |0| never wins the max).
+        dmax_out[0] = jnp.full((TX // 8, TY // 8),
+                               jnp.max(jnp.abs(dog)), jnp.float32)
 
 
-def _copy_kernel(src, buf_out, dog_out, sem, *, TX, TY):
+def _copy_kernel(src, buf_out, dog_out, dmax_out, sem, *, TX, TY):
     """Copy the external source into buf[dst] (octave > 0 level 0: the
     downsampled previous-octave level becomes the first level unblurred,
-    build_gpyr, sift.c:694-707). dog_out is untouched (garbage until the
-    dst=1 step overwrites dog[0])."""
-    del dog_out
+    build_gpyr, sift.c:694-707). dog_out/dmax_out are untouched (garbage
+    until the dst=1 step overwrites index 0)."""
+    del dog_out, dmax_out
     i = pl.program_id(0)
     j = pl.program_id(1)
     cp = pltpu.make_async_copy(
@@ -198,7 +206,9 @@ def chain_tiles(dims, halo, vmem_budget=10 * 1024 * 1024):
             slab = (tx + 2 * HX) * (ty + 2 * HY) * nz * 4
             tmp1 = tx * (ty + 2 * HY) * nz * 4
             tmp2 = tx * ty * nz * 4
-            outs = 2 * 2 * tx * ty * nz * 4     # double-buffered blocks
+            # double-buffered output blocks (+ the tiny dmax tiles, which
+            # Mosaic pads to one (8, 128) tile each)
+            outs = 2 * 2 * tx * ty * nz * 4 + 2 * 8 * 128 * 4
             if slab + tmp1 + tmp2 + outs + nz * nz * 4 <= vmem_budget:
                 return tx, ty
     return None
@@ -234,14 +244,14 @@ def _level_halo(diags) -> int:
                _halo(loy, np.asarray(Wy).shape[1]))
 
 
-def _chain_call(buf, dog, src_ext, diags, L, dims, dst,
+def _chain_call(buf, dog, dmax, src_ext, diags, L, dims, dst,
                 interpret=False, nz_logical=None):
-    """One link of the chain. buf/dog None (with src_ext set) creates the
-    buffers; diags None copies src_ext into buf[dst] unblurred. Tiles are
-    sized per level from ITS band halo (wide-band levels take smaller
-    tiles to fit VMEM). dims are the BUFFER dims (z lane-tile-padded);
-    nz_logical is the volume's true z extent (z-operator rows/cols beyond
-    it are zero, see _dense_z)."""
+    """One link of the chain. buf/dog/dmax None (with src_ext set)
+    creates the buffers; diags None copies src_ext into buf[dst]
+    unblurred. Tiles are sized per level from ITS band halo (wide-band
+    levels take smaller tiles to fit VMEM). dims are the BUFFER dims (z
+    lane-tile-padded); nz_logical is the volume's true z extent
+    (z-operator rows/cols beyond it are zero, see _dense_z)."""
     nx, ny, nz = dims
     if nz_logical is None:
         nz_logical = nz
@@ -251,12 +261,17 @@ def _chain_call(buf, dog, src_ext, diags, L, dims, dst,
     gi, gj = nx // TX, ny // TY
     first = buf is None
     out_shape = [jax.ShapeDtypeStruct((L,) + tuple(dims), jnp.float32),
-                 jax.ShapeDtypeStruct((L - 1,) + tuple(dims), jnp.float32)]
+                 jax.ShapeDtypeStruct((L - 1,) + tuple(dims), jnp.float32),
+                 jax.ShapeDtypeStruct((L - 1, nx // 8, ny // 8),
+                                      jnp.float32)]
     out_specs = [
         pl.BlockSpec((1, TX, TY, nz), lambda i, j: (dst, i, j, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TX, TY, nz),
                      lambda i, j: (max(dst - 1, 0), i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TX // 8, TY // 8),
+                     lambda i, j: (max(dst - 1, 0), i, j),
                      memory_space=pltpu.VMEM),
     ]
     if diags is None:
@@ -305,12 +320,13 @@ def _chain_call(buf, dog, src_ext, diags, L, dims, dst,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(gi, gj),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)] + w_specs,
         out_specs=out_specs, scratch_shapes=scratch)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
-        input_output_aliases={0: 0, 1: 1},
-        interpret=interpret)(buf, dog, Wxd, Wyd, Wzd)
+        input_output_aliases={0: 0, 1: 1, 2: 2},
+        interpret=interpret)(buf, dog, dmax, Wxd, Wyd, Wzd)
 
 
 def chain_octave(src, plan, octave: int, interpret: bool = False):
@@ -318,7 +334,10 @@ def chain_octave(src, plan, octave: int, interpret: bool = False):
     aliased Pallas calls. src: the [-1,1]-scaled input (octave 0, blurred
     sigma_n -> first level) or the downsampled previous-octave level
     (octave > 0, copied in unblurred). Returns (gpyr [L, nx, ny, nz],
-    dog [L-1, nx, ny, nz]). Call chain_eligible first.
+    dog [L-1, nx, ny, nz], dogmax f32[L-1] per-level max |DoG| — the
+    extrema threshold input, computed per tile inside the kernel so the
+    threshold pre-pass never re-reads the DoG). Call chain_eligible
+    first.
 
     A z extent that is not a whole number of 128-lane tiles (192^3) runs
     on z-padded buffers: the padded input margin is zero, the z operator
@@ -335,18 +354,19 @@ def chain_octave(src, plan, octave: int, interpret: bool = False):
     pdims = (nx, ny, nzp)
     if octave == 0:
         diags0 = plan.conv_diags(0, plan.first_taps)
-        buf, dog = _chain_call(None, None, src, diags0, L, pdims, 0,
-                               interpret, nz_logical=nz)
+        buf, dog, dmx = _chain_call(None, None, None, src, diags0, L,
+                                    pdims, 0, interpret, nz_logical=nz)
     else:
-        buf, dog = _chain_call(None, None, src, None, L, pdims, 0,
-                               interpret, nz_logical=nz)
+        buf, dog, dmx = _chain_call(None, None, None, src, None, L,
+                                    pdims, 0, interpret, nz_logical=nz)
     for i in range(1, L):
         diags = plan.conv_diags(octave, plan.level_taps[i])
-        buf, dog = _chain_call(buf, dog, None, diags, L, pdims, i,
-                               interpret, nz_logical=nz)
+        buf, dog, dmx = _chain_call(buf, dog, dmx, None, diags, L, pdims,
+                                    i, interpret, nz_logical=nz)
+    dogmax = jnp.max(dmx, axis=(1, 2))
     if nzp != nz:
-        return buf[:, :, :, :nz], dog[:, :, :, :nz]
-    return buf, dog
+        return buf[:, :, :, :nz], dog[:, :, :, :nz], dogmax
+    return buf, dog, dogmax
 
 
 def chain_eligible(plan, octave: int) -> bool:

@@ -65,33 +65,10 @@ def _neighbor(tile, xnb, dx, dy, dz, c0, TX):
     return v
 
 
-def _kernel(thr_ref, dog_ref, out_ref, cur_s, prev_s, next_s, xnb_s, sems,
-            *, TX, nx, ny, nz, cuboid):
-    l = pl.program_id(0)
-    i = pl.program_id(1)
-
-    x0 = i * TX
-    # cur needs a +-1 x halo; clamp the DMA start into the level.
-    SX = TX + 2
-    d0 = jnp.clip(x0 - 1, 0, nx - SX)
-    c0 = x0 - d0                       # slab row of the first center row
-    dmas = [
-        pltpu.make_async_copy(
-            dog_ref.at[l + 1, pl.ds(d0, SX)], cur_s, sems.at[0]),
-        pltpu.make_async_copy(
-            dog_ref.at[l, pl.ds(d0 if cuboid else x0,
-                                SX if cuboid else TX)],
-            prev_s, sems.at[1]),
-        pltpu.make_async_copy(
-            dog_ref.at[l + 2, pl.ds(d0 if cuboid else x0,
-                                    SX if cuboid else TX)],
-            next_s, sems.at[2]),
-    ]
-    for d in dmas:
-        d.start()
-    for d in dmas:
-        d.wait()
-
+def _stencil_compute(thr_ref, l, x0, c0, cur_s, prev_s, next_s, xnb_s,
+                     out_ref, *, TX, nx, ny, nz, cuboid):
+    """Shared stencil body: compares + threshold + interior mask, from
+    slab refs already resident in VMEM."""
     center = cur_s[pl.ds(c0, TX)]
     is_max = None
     is_min = None
@@ -136,53 +113,156 @@ def _kernel(thr_ref, dog_ref, out_ref, cur_s, prev_s, next_s, xnb_s, sems,
     out_ref[0] = m.astype(jnp.int8)
 
 
-def _pick_tx(nx: int, ny: int, nz: int, cuboid: bool) -> int:
-    """x-tile size, adapted to the 16 MB scoped-VMEM limit.
+def _slab_dmas(dog_ref, cur_v, prev_v, next_v, sem_v, l, i,
+               *, TX, nx, cuboid):
+    """The three slab copies for tile (l, i): cur (level l+1, +-1 x halo,
+    DMA start clamped into the level), prev/next (levels l/l+2; full
+    slabs only under cuboid — the face test reads just their centers)."""
+    x0 = i * TX
+    SX = TX + 2
+    d0 = jnp.clip(x0 - 1, 0, nx - SX)
+    return [
+        pltpu.make_async_copy(
+            dog_ref.at[l + 1, pl.ds(d0, SX)], cur_v, sem_v.at[0]),
+        pltpu.make_async_copy(
+            dog_ref.at[l, pl.ds(d0 if cuboid else x0,
+                                SX if cuboid else TX)],
+            prev_v, sem_v.at[1]),
+        pltpu.make_async_copy(
+            dog_ref.at[l + 2, pl.ds(d0 if cuboid else x0,
+                                    SX if cuboid else TX)],
+            next_v, sem_v.at[2]),
+    ]
+
+
+def _kernel(thr_ref, dog_ref, out_ref, cur_s, prev_s, next_s, xnb_s, sems,
+            *, TX, nx, ny, nz, cuboid):
+    """Single-buffered variant: DMA the slabs, wait, compute (the 512^2
+    fallback — the double-buffered slabs don't fit scoped VMEM there)."""
+    l = pl.program_id(0)
+    i = pl.program_id(1)
+    x0 = i * TX
+    d0 = jnp.clip(x0 - 1, 0, nx - (TX + 2))
+    c0 = x0 - d0                       # slab row of the first center row
+    dmas = _slab_dmas(dog_ref, cur_s, prev_s, next_s, sems, l, i,
+                      TX=TX, nx=nx, cuboid=cuboid)
+    for d in dmas:
+        d.start()
+    for d in dmas:
+        d.wait()
+    _stencil_compute(thr_ref, l, x0, c0, cur_s, prev_s, next_s, xnb_s,
+                     out_ref, TX=TX, nx=nx, ny=ny, nz=nz, cuboid=cuboid)
+
+
+def _kernel_db(thr_ref, dog_ref, out_ref, cur_s, prev_s, next_s, xnb_s,
+               sems, *, TX, nx, ny, nz, cuboid, gi):
+    """Double-buffered variant: each step prefetches the NEXT tile's
+    slabs into the other buffer before waiting on its own, so the HBM
+    reads ride behind the compare chain instead of serializing with it
+    (measured 3.45 -> ~1.3 ms for the 256^3 octave-0 mask). Slab
+    scratches carry a leading [2] slot dim; grid iterates i fastest, so
+    step = l * gi + i is sequential."""
+    l = pl.program_id(0)
+    i = pl.program_id(1)
+    step = l * gi + i
+    slot = jax.lax.rem(step, 2)
+    nl = pl.num_programs(0)
+
+    def dmas(l_, i_, s):
+        return _slab_dmas(dog_ref, cur_s.at[s], prev_s.at[s],
+                          next_s.at[s], sems.at[s], l_, i_,
+                          TX=TX, nx=nx, cuboid=cuboid)
+
+    @pl.when(step == 0)
+    def _():
+        for d in dmas(l, i, slot):
+            d.start()
+
+    @pl.when(step < nl * gi - 1)
+    def _():
+        wrap = i == gi - 1
+        ni = jnp.where(wrap, 0, i + 1)
+        nl_ = jnp.where(wrap, l + 1, l)
+        for d in dmas(nl_, ni, 1 - slot):
+            d.start()
+
+    for d in dmas(l, i, slot):
+        d.wait()
+
+    x0 = i * TX
+    d0 = jnp.clip(x0 - 1, 0, nx - (TX + 2))
+    c0 = x0 - d0
+    _stencil_compute(thr_ref, l, x0, c0, cur_s.at[slot], prev_s.at[slot],
+                     next_s.at[slot], xnb_s, out_ref,
+                     TX=TX, nx=nx, ny=ny, nz=nz, cuboid=cuboid)
+
+
+def _pick_tx(nx: int, ny: int, nz: int, cuboid: bool,
+             db: bool = False) -> tuple[int, bool]:
+    """(TX, double_buffer) adapted to the 16 MB scoped-VMEM limit.
 
     Footprint per grid step, in [TX, ny, nz] f32 planes: scratch slabs
     4*TX + 2 (cur SX=TX+2, prev, next, xnb; +4 more under cuboid) PLUS
     ~5*TX of compare-chain liveness (center, is_max, is_min, the neighbor
     in flight, the threshold mask) — measured: at 512^2 lane planes TX=4
     and TX=2 both overflow (18.0 / 20.75 MB against the 16 MB limit)
-    while TX=1 fits; 256^2 fits TX=4 with room. TX must also divide nx
-    (odd nx degrades to TX=1)."""
-    TX = 4
-    while TX > 1 and (9 * TX + (6 if cuboid else 2)) * ny * nz * 4 \
-            > 15 * 2 ** 20:
-        TX //= 2
-    while nx % TX:
-        TX //= 2
-    return TX
+    while TX=1 fits; 256^2 fits TX=4 with room. Double buffering doubles
+    the slab planes (not liveness/xnb). TX must also divide nx (odd nx
+    degrades to TX=1)."""
+    def planes(tx, dbf):
+        slabs = (3 * (tx + 2) if cuboid else tx + 2 + 2 * tx)
+        return slabs * (2 if dbf else 1) + 6 * tx + (4 if cuboid else 2)
+
+    budget = 15 * 2 ** 20 / (ny * nz * 4)
+    # TX-major: a wider tile (fewer grid steps, less halo re-read) beats
+    # double buffering at the same footprint; within a TX, prefer db.
+    for TX in (4, 2, 1):
+        if nx % TX:
+            continue
+        for dbf in ([True, False] if db else [False]):
+            if planes(TX, dbf) <= budget:
+                return TX, dbf
+    return 1, False
 
 
-@functools.partial(jax.jit, static_argnames=("cuboid", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("cuboid", "interpret", "db"))
 def extrema_mask_pallas(dog_oct, thresholds, cuboid: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        db: bool | None = None):
     """Candidate mask int8[nl, nx, ny, nz] for one octave's DoG stack.
 
     dog_oct: f32[num_dog_levels, nx, ny, nz]; thresholds: f32[nl] peak
     thresholds (peak_thresh * per-level max |DoG|, sift.c:821-829).
+    db: None = double-buffer the slab DMAs when they fit scoped VMEM;
+    True/False force (A/B tooling — bit-identical either way).
     """
     Ld, nx, ny, nz = dog_oct.shape
     nl = Ld - 2
-    TX = _pick_tx(nx, ny, nz, cuboid)
+    TX, db = _pick_tx(nx, ny, nz, cuboid,
+                      db=True if db is None else db)
     assert nx % TX == 0, (nx, TX)
     SX = TX + 2
+    gi = nx // TX
 
-    kernel = functools.partial(_kernel, TX=TX, nx=nx, ny=ny, nz=nz,
+    slab_lead = (2,) if db else ()
+    kern = functools.partial(_kernel_db, gi=gi) if db else _kernel
+    kernel = functools.partial(kern, TX=TX, nx=nx, ny=ny, nz=nz,
                                cuboid=cuboid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nl, nx // TX),
+        grid=(nl, gi),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, TX, ny, nz), lambda l, i, t: (l, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((SX, ny, nz), jnp.float32),
-            pltpu.VMEM((SX if cuboid else TX, ny, nz), jnp.float32),
-            pltpu.VMEM((SX if cuboid else TX, ny, nz), jnp.float32),
+            pltpu.VMEM(slab_lead + (SX, ny, nz), jnp.float32),
+            pltpu.VMEM(slab_lead + (SX if cuboid else TX, ny, nz),
+                       jnp.float32),
+            pltpu.VMEM(slab_lead + (SX if cuboid else TX, ny, nz),
+                       jnp.float32),
             pltpu.VMEM((TX, ny, nz), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA(slab_lead + (3,)),
         ],
     )
     return pl.pallas_call(

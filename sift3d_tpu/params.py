@@ -119,6 +119,39 @@ class DetectorParams:
     # "auto" = "chain" on a TPU backend once hardware parity is pinned,
     # composed meanwhile (see pyramid.build_gpyr_and_dog).
     gpyr_impl: str = "auto"
+    # --- hinted-pipeline execution policy (no reference equivalent;
+    #     see pipeline._hint_cfg / _chunk_plan / _detect_split_packed_fn).
+    #     Hashable fields of the params mean every distinct policy
+    #     compiles + caches its own programs (the lru_cached program
+    #     builders key on the plan, which carries the params). ---
+    # Hinted per-octave counts at which orientation + descriptor
+    # extraction split per level inside the fused program: each level's
+    # windows are then sized by ITS scale (level-0 windows hold ~4x
+    # fewer voxels than the octave-max window) — measured -35% on the
+    # dense descriptor stage at ~1000 keypoints. Below the thresholds
+    # the extra launches and slot padding outweigh it.
+    dense_octave_acc: int = 64
+    dense_octave_cand: int = 512
+    # Sparse octaves split their speculative descriptor extraction into
+    # per-level window groups, each sized by its own largest scale
+    # (window volume ~ sd^3). False = one octave-max mixed window group
+    # (A/B; measured slower on the sparse bench).
+    sparse_desc_groups: bool = True
+    # Upper bound on separately-dispatched descriptor programs in the
+    # SPLIT hinted pipeline: the keypoint payload transfer overlaps
+    # descriptor device time and finished chunks stream while later
+    # chunks compute. 0 = fully fused single program (the round-3 form).
+    split_desc_chunks: int = 4
+    # Don't split below this per-chunk window-voxel cost: tiny chunks
+    # pay ~0.3-0.5 ms host dispatch overhead without hiding anything.
+    min_chunk_cost: int = 3_500_000
+    # Hinted capacities are sized to the per-octave elementwise MAX over
+    # the last hint_history detections (the envelope), and tight mode
+    # engages when the envelope is stable — so a stream of DIFFERENT
+    # similar volumes converges to one compiled configuration sized to
+    # its recent peak. 1 = size to the last volume only (per-volume
+    # equality gating, the round-4 behavior).
+    hint_history: int = 4
     # Extrema stencil implementation: "auto" = the Pallas mask kernel
     # (ops/extrema_kernel.py) on TPU for octaves with nz % 128 == 0 and
     # nx % 8 == 0, the XLA shifted-slice stencil otherwise; "xla" forces
@@ -170,6 +203,20 @@ class DetectorParams:
             raise ValueError(
                 f"conv_exact_from_octave must be >= 0, "
                 f"got {self.conv_exact_from_octave}")
+        if self.dense_octave_acc < 1 or self.dense_octave_cand < 1:
+            raise ValueError(
+                f"dense_octave_acc/cand must be >= 1, got "
+                f"{self.dense_octave_acc}/{self.dense_octave_cand}")
+        if self.split_desc_chunks < 0:
+            raise ValueError(
+                f"split_desc_chunks must be >= 0, "
+                f"got {self.split_desc_chunks}")
+        if self.min_chunk_cost < 0:
+            raise ValueError(
+                f"min_chunk_cost must be >= 0, got {self.min_chunk_cost}")
+        if self.hint_history < 1:
+            raise ValueError(
+                f"hint_history must be >= 1, got {self.hint_history}")
         if self.extrema_impl not in ("auto", "xla", "pallas", "interpret"):
             raise ValueError(
                 f"extrema_impl must be 'auto', 'xla', 'pallas' or "

@@ -65,11 +65,13 @@ def _detect_fn(plan: PyramidPlan):
     @jax.jit
     def run(data):
         x = scale_to_unit(data)
-        gpyr, dogs = build_gpyr_and_dog(x, plan)
+        gpyr, dogs, dmaxes = build_gpyr_and_dog(x, plan,
+                                                with_dogmax=True)
         out = []
         for o in range(plan.num_octaves):
             dog_oct = dogs[o]
-            cand = detect_extrema_octave(dog_oct, params, caps[o])
+            cand = detect_extrema_octave(dog_oct, params, caps[o],
+                                         dogmax=dmaxes[o])
             if extensions:
                 from .refinement import refine_candidates_octave
                 ref = refine_candidates_octave(
@@ -240,38 +242,10 @@ def _mult_of(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-# Hinted per-octave counts at which orientation + descriptor extraction
-# split per level inside the fused program: each level's windows are then
-# sized by ITS scale (level-0 windows hold ~4x fewer voxels than the
-# octave-max window) — measured -35% on the dense descriptor stage and a
-# comparable cut of the orientation stage at ~1000 keypoints. Below the
-# thresholds the extra launches and slot padding outweigh it (measured:
-# the all-per-level variant was a net loss on the sparse bench).
-_DENSE_OCTAVE_ACC = 64
-_DENSE_OCTAVE_CAND = 512
-
-# Sparse octaves split their speculative descriptor extraction into two
-# window groups — level 0 alone, levels 1..nl-1 together — each sized by
-# its own largest scale: window volume scales as sd^3, so the octave-max
-# mixed window spends ~4x the voxels a level-0 keypoint needs. The
-# two-group middle keeps the launch count at 2 per octave (the full
-# per-level split measured negative on sparse populations,
-# docs/performance.md). A/B flag for tools/fused_variants.py.
-_SPARSE_DESC_GROUPS = True
-
-# Upper bound on the number of separately-dispatched descriptor programs
-# in the SPLIT hinted pipeline (_detect_split_packed_fn): the keypoint
-# payload transfer overlaps descriptor device time, and each finished
-# chunk's bytes stream while later chunks still compute. 0 = fully fused
-# single program (the round-3 form, kept for A/B).
-_SPLIT_DESC_CHUNKS = 4
-
-# Don't split below this per-chunk window-voxel cost: tiny descriptor
-# workloads pay per-dispatch overhead (~0.3-0.5 ms host each) without
-# hiding anything. Sized so the sparse bench's ~14 Mvox workload still
-# gets 4 chunks — the LAST chunk's bytes are the only serial stream
-# tail, so more chunks shrink it.
-_MIN_CHUNK_COST = 3_500_000
+# The hinted-pipeline execution-policy knobs (dense_octave_acc/cand,
+# sparse_desc_groups, split_desc_chunks, min_chunk_cost) live on
+# DetectorParams (params.py) — hashable, validated, and part of every
+# lru_cached program builder's key via the plan.
 
 
 def _hint_cfg(plan: PyramidPlan, hint: dict, params,
@@ -284,7 +258,7 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params,
     small. Undershoot is never wrong: capacity overflow re-detects
     exactly, ori/desc overflow falls back to the exact per-segment path.
     ori_slots/desc_slots are ints (one mixed-level pass per octave) or
-    per-level tuples together (dense octaves; _DENSE_OCTAVE_*).
+    per-level tuples together (dense octaves; params.dense_octave_*).
 
     tight=True (a STABLE workload: the same counts observed on
     consecutive detections, SIFT3D._hint_streak) shrinks the drift
@@ -320,13 +294,13 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params,
                 s = min(cap, _mult_of(s, 256))
             return s
 
-        if acc >= _DENSE_OCTAVE_ACC or total >= _DENSE_OCTAVE_CAND:
+        if acc >= params.dense_octave_acc or total >= params.dense_octave_cand:
             ospec = tuple(oslots(c) for c in cand_l)
             dslots = tuple(max(8, _mult_of(a + (a >> hr) + 1, 8))
                            for a in acc_l)
         else:
             ospec = oslots(total)
-            if _SPARSE_DESC_GROUPS and nl >= 2:
+            if params.sparse_desc_groups and nl >= 2:
                 # Per-LEVEL descriptor window groups: each level's
                 # windows sized by ITS scale (window volume scales as
                 # sd^3 — the octave-max mixed window spends ~2-4x the
@@ -351,6 +325,16 @@ def _hint_cfg(plan: PyramidPlan, hint: dict, params,
                 dslots = max(8, _mult_of(acc + (acc >> hr) + 1, 8))
         cfg.append((cap, ospec, dslots))
     return tuple(cfg)
+
+
+def _hint_env(hists: list[dict], n_oct: int, nl: int) -> dict:
+    """Per-octave elementwise max over raw hint dicts: the envelope that
+    sizes the next hinted program for a stream of similar volumes."""
+    return {o: (max(h[o][0] for h in hists),
+                max(h[o][1] for h in hists),
+                tuple(max(h[o][2][li] for h in hists) for li in range(nl)),
+                tuple(max(h[o][3][li] for h in hists) for li in range(nl)))
+            for o in range(n_oct)}
 
 
 def _hint_fit(plan: PyramidPlan, cfg: tuple, counts, octs_host) -> bool:
@@ -530,13 +514,16 @@ def _detect_core(plan: PyramidPlan, cfg: tuple, vmapped: bool):
 
     def core(data):
         x = scale_to_unit(data)
-        gpyr, dogs = build_gpyr_and_dog(x, plan, use_pallas=xla_only)
+        gpyr, dogs, dmaxes = build_gpyr_and_dog(x, plan,
+                                                use_pallas=xla_only,
+                                                with_dogmax=True)
         cands, octs, desc_args = [], [], []
         for o, (cap, ospec, dslots) in enumerate(cfg):
             coord_factor = jnp.float32(2.0 ** o)
             dog_oct = dogs[o]
             cand = detect_extrema_octave(dog_oct, params, cap,
-                                         use_pallas=xla_only)
+                                         use_pallas=xla_only,
+                                         dogmax=dmaxes[o])
             units = plan.level_units(o)
             scales = np.asarray(
                 [plan.scales[o][1 + li] for li in range(nl)], np.float32)
@@ -784,7 +771,7 @@ def _fill_desc(octs, desc_buf: np.ndarray, meta) -> None:
 
 
 def _chunk_plan(jobs: list[_DescJob], max_chunks: int,
-                min_cost: int = _MIN_CHUNK_COST) -> list[list[tuple]]:
+                min_cost: int = 3_500_000) -> list[list[tuple]]:
     """Partition the descriptor workload into up to `max_chunks`
     CONTIGUOUS spans [(job_idx, row_lo, row_hi), ...], balanced by static
     window-voxel cost and cut at 8-row (kernel pack) boundaries. Each
@@ -830,7 +817,7 @@ def _detect_split_packed_fn(plan: PyramidPlan, cfg: tuple):
     """The hinted program SPLIT for transfer/compute overlap (VERDICT r3
     #1): program A (_detect_core) emits the packed keypoint payload plus
     the descriptor inputs; the descriptor histograms run as up to
-    _SPLIT_DESC_CHUNKS separate programs dispatched back-to-back behind
+    params.split_desc_chunks separate programs dispatched back-to-back behind
     it. The keypoint payload's transfer rides the link WHILE the
     descriptor programs still execute, and each finished chunk's bytes
     stream behind it — the single fused program serialized the full
@@ -843,7 +830,8 @@ def _detect_split_packed_fn(plan: PyramidPlan, cfg: tuple):
         (desc_q rows, desc_scale rows) in payload consumption order."""
     core = _detect_core(plan, cfg, vmapped=False)
     jobs = _desc_jobs(plan, cfg)
-    chunks = _chunk_plan(jobs, _SPLIT_DESC_CHUNKS)
+    chunks = _chunk_plan(jobs, plan.params.split_desc_chunks,
+                         plan.params.min_chunk_cost)
     meta_box = {}
 
     def run_a(data):
@@ -1080,10 +1068,21 @@ class SIFT3D:
         # descriptor cache keyed by keypoint identity.
         self._hint: dict[int, tuple[int, int]] | None = None
         self._hint_plan = None
-        # Consecutive detections with IDENTICAL per-octave counts: at
+        # Consecutive detections with an UNCHANGED hint envelope: at
         # streak >= 2 the workload is stable and the fused program's slot
-        # headroom tightens (_hint_cfg tight=True).
+        # headroom tightens (_hint_cfg tight=True). The envelope is the
+        # per-octave elementwise max over the last params.hint_history
+        # raw counts (_hint_hist), so a varied stream of similar volumes
+        # stabilizes on one compiled configuration sized to its recent
+        # peak instead of thrashing tight-mode on per-volume equality.
         self._hint_streak = 0
+        self._hint_hist: list[dict] = []
+        self._last_raw_hint: dict | None = None
+        # Cumulative count of hinted detections whose speculation missed
+        # (workload outgrew the hinted capacities -> one exact-path redo).
+        # Instrumentation for varied-workload benchmarking (bench.py
+        # --varied); never read by the pipeline itself.
+        self._hint_misses = 0
         self._spec_desc_cache: dict | None = None
         self._batch_desc_caches: list | None = None
 
@@ -1108,7 +1107,7 @@ class SIFT3D:
             # the previous detection on this plan.
             cfg = _hint_cfg(plan, hint, self.params,
                             tight=self._hint_streak >= 2)
-            if _SPLIT_DESC_CHUNKS:
+            if self.params.split_desc_chunks:
                 run_a, chunk_fns, meta, jobs, chunks = \
                     _detect_split_packed_fn(plan, cfg)
                 gpyr, cands, counts_dev, kp_buf, dargs = run_a(vol.data)
@@ -1152,6 +1151,7 @@ class SIFT3D:
             # Speculation missed (the workload drifted past the headroom):
             # re-run the exact path from the device-resident stores.
             self._hint_streak = 0
+            self._hint_misses += 1
             caps = {o: cfg[o][0] for o in range(plan.num_octaves)}
             per_oct = [(c, None) for c in cands]
             spec_oris = None
@@ -1215,13 +1215,28 @@ class SIFT3D:
                           for li in range(nl)),
                     tuple(int(c) for c in counts[o]))
                 for o in range(plan.num_octaves)}
-            self._hint_streak = (
-                self._hint_streak + 1
-                if self._hint_plan == plan and new_hint == self._hint
-                else 0)
-            self._hint = new_hint
-            self._hint_plan = plan
+            self._learn_hint(plan, new_hint)
         return kp
+
+    def _learn_hint(self, plan, raw: dict) -> None:
+        """Fold this detection's raw per-octave counts into the hint
+        envelope: the per-octave max over the last params.hint_history
+        raw hints. The streak (tight-mode gate) counts consecutive
+        detections with an UNCHANGED envelope — a varied stream of
+        similar volumes stabilizes on one configuration sized to its
+        recent peak; hint_history=1 recovers the round-4 exact-equality
+        behavior."""
+        hist = self._hint_hist if self._hint_plan == plan else []
+        hist.append(raw)
+        del hist[:-self.params.hint_history]
+        env = _hint_env(hist, plan.num_octaves,
+                        self.params.num_kp_levels)
+        self._hint_streak = (
+            self._hint_streak + 1
+            if self._hint_plan == plan and env == self._hint else 0)
+        self._hint = env
+        self._hint_plan = plan
+        self._hint_hist = hist
 
     def _assemble_hinted(self, plan, counts, octs,
                          desc_fetch=None) -> Keypoints:
@@ -1311,11 +1326,8 @@ class SIFT3D:
                        float(co[j, 2]))
                 cache[key] = (desc[j], dref["xyz"][j], dref["sd"][j])
         self._spec_desc_cache = cache or None
-        self._hint_streak = (
-            self._hint_streak + 1
-            if self._hint_plan == plan and hint == self._hint else 0)
-        self._hint = hint
-        self._hint_plan = plan
+        self._last_raw_hint = hint   # batch caller reads the raw counts
+        self._learn_hint(plan, hint)
 
         n = sum(len(c) for c in coords_l)
         if n == 0:
@@ -1386,27 +1398,21 @@ class SIFT3D:
         if not all(_hint_fit(plan, cfg, counts_b[b], octs_v[b])
                    for b in range(B)):
             self._hint_streak = 0
+            self._hint_misses += 1
             return None
-        # _assemble_hinted clobbers the streak per volume; snapshot the
-        # batch-level previous state and recompute from the batch hint.
-        prev_hint, prev_streak = self._hint, self._hint_streak
+        # _assemble_hinted clobbers the hint state per volume; snapshot
+        # the batch-level previous state and fold in the batch max once.
+        prev = (self._hint, self._hint_streak, self._hint_hist)
         out, caches, hints = [], [], []
         for b in range(B):
             out.append(self._assemble_hinted(plan, counts_b[b], octs_v[b]))
             caches.append(self._spec_desc_cache)
-            hints.append(self._hint)
+            hints.append(self._last_raw_hint)
         # The batch hint sizes the NEXT batch: per-octave max over volumes.
-        nl = self.params.num_kp_levels
-        new_hint = {
-            o: (max(h[o][0] for h in hints),
-                max(h[o][1] for h in hints),
-                tuple(max(h[o][2][li] for h in hints) for li in range(nl)),
-                tuple(max(h[o][3][li] for h in hints) for li in range(nl)))
-            for o in range(plan.num_octaves)}
-        self._hint_streak = (prev_streak + 1 if new_hint == prev_hint
-                             else 0)
-        self._hint = new_hint
-        self._hint_plan = plan
+        new_hint = _hint_env(hints, plan.num_octaves,
+                             self.params.num_kp_levels)
+        self._hint, self._hint_streak, self._hint_hist = prev
+        self._learn_hint(plan, new_hint)
         self._batch_desc_caches = caches
         self._spec_desc_cache = None
         return out

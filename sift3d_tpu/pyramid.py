@@ -397,8 +397,15 @@ def _build_octave_composed(src: jnp.ndarray, plan: PyramidPlan, o: int,
 
 def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
                        use_pallas: bool | None = None,
-                       interpret: bool = False):
-    """(gpyr octaves, dog octaves) in one build.
+                       interpret: bool = False,
+                       with_dogmax: bool = False):
+    """(gpyr octaves, dog octaves[, dogmax octaves]) in one build.
+
+    with_dogmax=True additionally returns, per octave, the f32[L-1]
+    per-DoG-level max |DoG| (the extrema threshold input,
+    sift.c:821-829) — free from the chain kernel's per-tile max output;
+    None for composed-fallback octaves (the caller reduces the DoG
+    itself there).
 
     With gpyr_impl "chain" — or "auto" on a TPU backend — large octaves
     run through the chained aliased Pallas builder
@@ -422,12 +429,14 @@ def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
                           and jax.default_backend() == "tpu"))
     if not use_pallas or params.gpyr_impl in ("incremental", "composed"):
         gp = build_gpyr(vol, plan)
+        if with_dogmax:
+            return gp, build_dog(gp), [None] * plan.num_octaves
         return gp, build_dog(gp)
 
     from .ops.blur_kernel import chain_eligible, chain_octave
     L = plan.num_gpyr_levels
     hi = (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
-    gps, dogs = [], []
+    gps, dogs, dmaxes = [], [], []
     src_prev = vol      # previous octave's downsample source level
     for o in range(plan.num_octaves):
         if not chain_eligible(plan, o):
@@ -443,13 +452,17 @@ def build_gpyr_and_dog(vol: jnp.ndarray, plan: PyramidPlan,
                 [(0, L, hi)] if o >= 1 else _composed_groups(params, o))
             gps.append(oct_)
             dogs.append(oct_[:-1] - oct_[1:])
+            dmaxes.append(None)
         else:
             src = (vol if o == 0
                    else downsample_2x_matmul(src_prev))
-            gp, dg = chain_octave(src, plan, o, interpret)
+            gp, dg, dmx = chain_octave(src, plan, o, interpret)
             gps.append(gp)
             dogs.append(dg)
+            dmaxes.append(dmx)
         src_prev = gps[o][L - 3]
+    if with_dogmax:
+        return gps, dogs, dmaxes
     return gps, dogs
 
 

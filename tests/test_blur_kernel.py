@@ -28,17 +28,21 @@ def test_chain_octave_matches_sequential():
     ref = build_gpyr_incremental(vol, plan)
     ref_dog = build_dog(ref)
 
-    gp0, dog0 = chain_octave(vol, plan, 0, interpret=True)
+    gp0, dog0, dmx0 = chain_octave(vol, plan, 0, interpret=True)
     scale = float(np.abs(np.asarray(ref[0])).max())
     assert np.abs(np.asarray(gp0) - np.asarray(ref[0])).max() \
         / scale < 1e-6
     assert np.abs(np.asarray(dog0) - np.asarray(ref_dog[0])).max() \
         / scale < 1e-6
+    # fused per-tile max output == the recomputed per-level max |DoG|
+    # (bit-identical: max over the same f32 values, order-free)
+    np.testing.assert_array_equal(
+        np.asarray(dmx0), np.max(np.abs(np.asarray(dog0)), axis=(1, 2, 3)))
 
     if chain_eligible(plan, 1):
         L = plan.num_gpyr_levels
         src = downsample_2x_matmul(gp0[L - 3])
-        gp1, dog1 = chain_octave(src, plan, 1, interpret=True)
+        gp1, dog1, _ = chain_octave(src, plan, 1, interpret=True)
         assert np.abs(np.asarray(gp1) - np.asarray(ref[1])).max() \
             / scale < 1e-6
         assert np.abs(np.asarray(dog1) - np.asarray(ref_dog[1])).max() \
@@ -61,7 +65,7 @@ def test_chain_octave_anisotropic_units():
     vol = scale_to_unit(jnp.asarray(
         rng.normal(size=dims).astype(np.float32)))
     ref = build_gpyr_incremental(vol, plan)
-    gp0, dog0 = chain_octave(vol, plan, 0, interpret=True)
+    gp0, dog0, _ = chain_octave(vol, plan, 0, interpret=True)
     scale = float(np.abs(np.asarray(ref[0])).max())
     assert np.abs(np.asarray(gp0) - np.asarray(ref[0])).max() \
         / scale < 1e-6
@@ -85,8 +89,10 @@ def test_chain_octave_lane_padded_z():
     vol = scale_to_unit(jnp.asarray(
         rng.normal(size=dims).astype(np.float32)))
     ref = build_gpyr_incremental(vol, plan)
-    gp0, dog0 = chain_octave(vol, plan, 0, interpret=True)
+    gp0, dog0, dmx0 = chain_octave(vol, plan, 0, interpret=True)
     assert gp0.shape == (plan.num_gpyr_levels,) + dims
+    np.testing.assert_array_equal(
+        np.asarray(dmx0), np.max(np.abs(np.asarray(dog0)), axis=(1, 2, 3)))
     scale = float(np.abs(np.asarray(ref[0])).max())
     assert np.abs(np.asarray(gp0) - np.asarray(ref[0])).max() \
         / scale < 1e-6

@@ -242,15 +242,23 @@ def test_extrema_pallas_tile_vmem_budget():
     overflowed the fixed TX=4 on hardware) and always divides nx."""
     from sift3d_tpu.ops.extrema_kernel import _pick_tx
 
-    assert _pick_tx(256, 256, 256, cuboid=False) == 4   # plenty of room
-    assert _pick_tx(512, 512, 512, cuboid=False) == 1   # 18 MB at TX=2
-    assert _pick_tx(512, 512, 512, cuboid=True) == 1
-    assert _pick_tx(384, 384, 384, cuboid=False) == 2
-    assert _pick_tx(33, 40, 128, cuboid=False) == 1     # odd nx divides
+    assert _pick_tx(256, 256, 256, cuboid=False) == (4, False)
+    # db=True requests double buffering where the doubled slabs fit
+    assert _pick_tx(256, 256, 256, cuboid=False, db=True) == (4, True)
+    assert _pick_tx(512, 512, 512, cuboid=False, db=True) == (1, False)
+    assert _pick_tx(512, 512, 512, cuboid=True, db=True) == (1, False)
+    # 384^2 planes: TX=2 single fits, TX=2 double does not — a wider
+    # tile is preferred over double buffering at the same footprint
+    assert _pick_tx(384, 384, 384, cuboid=False, db=True) == (2, False)
+    assert _pick_tx(33, 40, 128, cuboid=False) == (1, False)  # odd nx
     for nx, ny, nz in ((256, 256, 256), (512, 512, 512), (384, 384, 384),
                        (96, 130, 200), (33, 40, 128)):
         for cuboid in (False, True):
-            tx = _pick_tx(nx, ny, nz, cuboid)
-            assert nx % tx == 0
-            planes = 9 * tx + (6 if cuboid else 2)
-            assert tx == 1 or planes * ny * nz * 4 <= 15 * 2 ** 20
+            for db in (False, True):
+                tx, dbf = _pick_tx(nx, ny, nz, cuboid, db=db)
+                assert nx % tx == 0
+                assert db or not dbf
+                slabs = (3 * (tx + 2) if cuboid else 3 * tx + 2)
+                planes = slabs * (2 if dbf else 1) + 6 * tx \
+                    + (4 if cuboid else 2)
+                assert tx == 1 or planes * ny * nz * 4 <= 15 * 2 ** 20

@@ -71,3 +71,21 @@ def test_more_kp_levels(tmp_path):
     vol = make_phantom(48, seed=7)
     res = run_oracle(vol, tmp_path / "kpl4", kp_levels=4)
     _compare(vol, res, s3d.SIFT3D(s3d.DetectorParams(num_kp_levels=4)))
+
+
+def test_policy_knobs_parity(tmp_path):
+    """Non-default hinted-pipeline policy (fully fused program, mixed
+    descriptor windows, per-level dense branch forced on every octave)
+    must reproduce the oracle exactly — the policy knobs choose execution
+    shape, never values. Runs detection twice so the hinted program (the
+    path the knobs govern) actually executes."""
+    import sift3d_tpu as s3d
+
+    vol = make_phantom(48, seed=8)
+    res = run_oracle(vol, tmp_path / "policy")
+    params = s3d.DetectorParams(split_desc_chunks=0,
+                                sparse_desc_groups=False,
+                                dense_octave_acc=1, dense_octave_cand=1)
+    det = s3d.SIFT3D(params)
+    det.detect_keypoints(vol)          # learn the hint
+    _compare(vol, res, det)            # hinted program under the policy

@@ -132,7 +132,7 @@ def test_spec_miss_falls_back(blob_volume):
 
 
 def test_dense_octave_per_level_descriptor_branch():
-    """Octaves whose hinted accepted count reaches _DENSE_OCTAVE_ACC use
+    """Octaves whose hinted accepted count reaches params.dense_octave_acc
     per-level descriptor extraction inside the fused program (smaller
     windows). Keypoints must stay exact; descriptors may differ from the
     mixed-window device path only at f32-noise level (<< the 1% parity
@@ -154,7 +154,7 @@ def test_dense_octave_per_level_descriptor_branch():
     det = s3d.SIFT3D()
     kp1 = det.detect_keypoints(vol)
     dense = [o for o, h in det._hint.items()
-             if h[1] >= pipeline._DENSE_OCTAVE_ACC]
+             if h[1] >= det.params.dense_octave_acc]
     assert dense, f"phantom too sparse to exercise the branch: {det._hint}"
     d1 = det.extract_descriptors(kp1)
 
@@ -175,3 +175,60 @@ def test_dense_octave_per_level_descriptor_branch():
     np.testing.assert_array_equal(np.asarray(kp2.coords),
                                   np.asarray(kp3.coords))
     np.testing.assert_array_equal(np.asarray(kp2.R), np.asarray(kp3.R))
+
+
+def _varied_phantoms(n=48, count=4):
+    out = []
+    for seed in range(count):
+        rng = np.random.default_rng(100 + seed)
+        x, y, z = np.meshgrid(*([np.arange(n)] * 3), indexing="ij")
+        vol = np.zeros((n, n, n), np.float32)
+        for _ in range(12 + 4 * seed):
+            c = rng.uniform(6, n - 6, 3)
+            s = rng.uniform(2, 5, 3)
+            vol += rng.uniform(0.3, 1.0) * np.exp(
+                -(((x - c[0]) / s[0]) ** 2 + ((y - c[1]) / s[1]) ** 2
+                  + ((z - c[2]) / s[2]) ** 2)).astype(np.float32)
+        out.append(vol)
+    return out
+
+
+def test_hint_envelope_varied_stream():
+    """A stream of DIFFERENT same-shape volumes must converge: after one
+    full cycle the envelope (max over hint_history raw counts) covers
+    every volume, so later cycles run hinted with no misses, the streak
+    grows (tight mode engages), and each volume's keypoints equal its
+    cold-path detection exactly."""
+    vols = _varied_phantoms()
+    cold = []
+    for v in vols:
+        d = s3d.SIFT3D()
+        cold.append(d.detect_keypoints(v))
+    # distinct workloads so the envelope actually differs from any raw
+    assert len({len(k) for k in cold}) > 1
+
+    det = s3d.SIFT3D()
+    for v in vols:                    # cycle 1: learn
+        det.detect_keypoints(v)
+    misses_after_learn = det._hint_misses
+    for cycle in range(2):            # cycles 2-3: hinted, no misses
+        for v, kc in zip(vols, cold):
+            kp = det.detect_keypoints(v)
+            np.testing.assert_array_equal(np.asarray(kp.coords),
+                                          np.asarray(kc.coords))
+            np.testing.assert_allclose(np.asarray(kp.strength),
+                                       np.asarray(kc.strength), atol=1e-6)
+    assert det._hint_misses == misses_after_learn, "steady-state misses"
+    assert det._hint_streak >= 2, "envelope should be stable (tight mode)"
+
+
+def test_hint_history_one_is_per_volume():
+    """hint_history=1 recovers the round-4 behavior: the hint is sized to
+    the last volume only, so alternating distinct volumes never builds a
+    streak."""
+    vols = _varied_phantoms(count=2)
+    det = s3d.SIFT3D(s3d.DetectorParams(hint_history=1))
+    for _ in range(3):
+        for v in vols:
+            det.detect_keypoints(v)
+    assert det._hint_streak == 0

@@ -5,8 +5,8 @@ REAL pipeline body (_detect_core/_detect_full_body — no tool-local copy
 to drift).
 
 Usage: python -u tools/fused_variants.py [size] [--dense] [--mixed-desc]
-  --mixed-desc: disable the sparse two-group descriptor window split
-  (pipeline._SPARSE_DESC_GROUPS = False) for A/B.
+  --mixed-desc: disable the sparse per-level descriptor window split
+  (params sparse_desc_groups=False) for A/B.
 """
 
 import sys
@@ -29,20 +29,19 @@ def main():
     from sift3d_tpu import pipeline
     from sift3d_tpu.detect import detect_extrema_octave
     from sift3d_tpu.pipeline import (_detect_core, _detect_full_body,
-                                     _desc_jobs, _chunk_plan, _hint_cfg,
-                                     _SPLIT_DESC_CHUNKS)
+                                     _desc_jobs, _chunk_plan, _hint_cfg)
     from sift3d_tpu.pyramid import build_gpyr_and_dog, make_plan, \
         scale_to_unit
     from sift3d_tpu.volume import Volume
-
-    if "--mixed-desc" in sys.argv:
-        pipeline._SPARSE_DESC_GROUPS = False
 
     vol = Volume.from_array(
         make_dense_volume(n) if dense else make_bench_volume(n))
     jax.device_get(jnp.sum(vol.data))
 
-    det = s3d.SIFT3D()
+    from sift3d_tpu.params import DetectorParams
+    det_params = DetectorParams(sparse_desc_groups="--mixed-desc"
+                                not in sys.argv)
+    det = s3d.SIFT3D(det_params)
     for _ in range(4):         # learn hint, reach the tight-slot config
         det.detect_keypoints(vol)
     plan = make_plan(vol.shape, vol.units, det.params)
@@ -51,7 +50,8 @@ def main():
     params = det.params
     print(f"cfg: {list(cfg)}", flush=True)
     jobs = _desc_jobs(plan, cfg)
-    chunks = _chunk_plan(jobs, _SPLIT_DESC_CHUNKS)
+    chunks = _chunk_plan(jobs, params.split_desc_chunks,
+                         params.min_chunk_cost)
     print("desc jobs (octave, levels, slots, Mvox):", flush=True)
     for j in jobs:
         print(f"  o{j.octave} s[{j.lv_lo},{j.lv_hi}) slots={j.slots:4d} "
