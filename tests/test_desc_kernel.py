@@ -163,3 +163,50 @@ def test_mixed_level_sorted_packs_match_xla():
     err = np.abs(np.asarray(desc) - np.asarray(ref.desc))
     assert err.max() < 1e-5, err.max()
     assert not np.asarray(desc)[~np.asarray(valid)].any()
+
+
+def test_chunked_packs_k_gt_8_match_xla():
+    """K=32 through kp_chunk=8 runs the PACKED kernel under lax.map with
+    the skip-cond wrapper — the exact shape round 4's working notes
+    flagged as returning ~3e-2-off values in interpret mode. That
+    anomaly no longer reproduces (bisected round 5: direct call, under
+    lax.map, under cond+lax.map, and this end-to-end path all match the
+    XLA reference to f32 rounding — the round-4 p_s zero-init at c==0
+    plausibly removed an uninitialized-scratch read). This regression
+    test keeps the K > 8 chunked packed path under CPU CI."""
+    from sift3d_tpu.descriptor import (_extract_pallas, _level_radius,
+                                       _normalize, extract_descriptors)
+    from sift3d_tpu.pyramid import make_plan
+    from sift3d_tpu.windows import window_extent
+
+    p = DetectorParams()
+    plan = make_plan((48, 48, 48), (1.0, 1.0, 1.0), p)
+    rng = np.random.default_rng(3)
+    L = 3
+    levels = jnp.asarray(
+        rng.normal(size=(L, 48, 48, 48)).astype(np.float32))
+    K = 32
+    coords = jnp.asarray(rng.integers(10, 38, (K, 3)), jnp.int32)
+    R = jnp.asarray(np.stack(
+        [np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+         for _ in range(K)]))
+    lvl = jnp.asarray(rng.integers(0, L, K), jnp.int32)
+    valid = jnp.asarray(rng.uniform(size=K) < 0.7)
+    scales = np.asarray([plan.scales[0][1 + s] for s in range(L)],
+                        np.float32)
+    sd = jnp.asarray(scales)[lvl]
+    sd_max = float(scales.max())
+
+    ref = extract_descriptors(levels, coords, R, valid, sd,
+                              use_pallas=False, octave=0,
+                              units=(1.0, 1.0, 1.0), params=p,
+                              sd_max=sd_max, level_index=lvl, kp_chunk=8)
+    rad = _level_radius(sd_max, p)
+    extents = tuple(window_extent(rad / 1.0, 48) for _ in range(3))
+    hists = _extract_pallas(levels, coords, coords.astype(jnp.float32), R,
+                            sd, (1.0, 1.0, 1.0), extents, 8, p,
+                            interpret=True, level_index=lvl, valid=valid)
+    desc = jax.vmap(lambda h: _normalize(h, p))(hists)
+    desc = jnp.where(valid[:, None, None], desc, 0.0).reshape(K, -1)
+    err = np.abs(np.asarray(desc) - np.asarray(ref.desc))
+    assert err.max() < 1e-5, err.max()
