@@ -56,9 +56,70 @@ def octave_is_sharded(plan: PyramidPlan, octave: int, ndev: int) -> bool:
     return nz % ndev == 0 and nz // ndev >= max_blur_halo(plan, octave)
 
 
+def composed_halo(plan: PyramidPlan, octave: int) -> int:
+    """z reach of the octave's widest composed (from-source) blur
+    operator — the one halo exchange the composed sharded builder
+    needs."""
+    from ..pyramid import _composed_matrices_src
+    Pz = _composed_matrices_src(plan, octave)[2]
+    return max(band_halo(Pz[level]) for level in range(Pz.shape[0]))
+
+
+def _build_octave_composed_sharded(src, plan: PyramidPlan, octave: int,
+                                   mesh: Mesh, axis: str):
+    """One z-sharded octave through the COMPOSED per-octave operators:
+    x/y as local batched MXU einsums over all levels at once, then ONE
+    halo exchange of the x/y-blurred stack (the widest composed z reach)
+    and a single batched z einsum against per-shard operator row blocks.
+
+    vs the sequential per-level form (_blur_sharded): one ppermute pair
+    per octave instead of L-1, and the matmuls batch over levels exactly
+    like the single-chip composed builder (pyramid._build_octave_composed)
+    instead of L serialized dense passes. Reference program being
+    replaced: the per-level blur loop of build_gpyr
+    (/root/reference/sift3d/sift.c:662-711)."""
+    from ..pyramid import _composed_matrices_src
+    Pxn, Pyn, Pzn = _composed_matrices_src(plan, octave)
+    L = Pzn.shape[0]
+    nz = Pzn.shape[1]
+    ndev = mesh.shape[axis]
+    local = nz // ndev
+    H = composed_halo(plan, octave)
+    assert H <= local, (H, local)
+    Px, Py = jnp.asarray(Pxn), jnp.asarray(Pyn)
+    Wpad = jnp.asarray(np.pad(Pzn, ((0, 0), (0, 0), (H, H))))
+    prec = jax.lax.Precision.HIGHEST
+    fwd = [(j, (j + 1) % ndev) for j in range(ndev)]
+    bwd = [(j, (j - 1) % ndev) for j in range(ndev)]
+
+    def f(v):                                   # v [nx, ny, local]
+        lv = jnp.einsum("lab,byz->layz", Px, v, precision=prec)
+        lv = jnp.einsum("lab,lxbz->lxaz", Py, lv, precision=prec)
+        i = jax.lax.axis_index(axis)
+        from_left = jax.lax.ppermute(lv[..., -H:], axis, fwd)
+        from_right = jax.lax.ppermute(lv[..., :H], axis, bwd)
+        ext = jnp.concatenate([from_left, lv, from_right], axis=-1)
+        # rows of this shard's outputs; zero-padded columns make the
+        # ring-wrapped halos of the edge shards structurally harmless
+        Wblk = jax.lax.dynamic_slice(
+            Wpad, (0, i * local, i * local), (L, local, local + 2 * H))
+        return jnp.einsum("lab,lxyb->lxya", Wblk, ext, precision=prec)
+
+    return shard_map(f, mesh=mesh, in_specs=P(None, None, axis),
+                     out_specs=P(None, None, None, axis),
+                     check_vma=False)(src)
+
+
 def build_gpyr_sharded(vol, plan: PyramidPlan, mesh: Mesh, axis: str):
     """Gaussian pyramid with z-sharded early octaves. Returns (gpyr list,
-    sharded_flags list)."""
+    sharded_flags list).
+
+    Per octave, the best formulation that fits the shard extent:
+    composed (one halo exchange + batched einsums) when the widest
+    composed z reach fits a shard; the sequential per-level halo form
+    when only the per-level reach fits; replicated single-device blurs
+    otherwise (octave o is 8^-o of the input — the memory win lives in
+    the first octaves)."""
     params = plan.params
     ndev = mesh.shape[axis]
     L = plan.num_gpyr_levels
@@ -67,10 +128,18 @@ def build_gpyr_sharded(vol, plan: PyramidPlan, mesh: Mesh, axis: str):
     octaves, flags = [], []
     for o in range(plan.num_octaves):
         sharded = octave_is_sharded(plan, o, ndev)
+        nz = plan.octave_dims[o][2]
+        composed = (nz % ndev == 0
+                    and composed_halo(plan, o) <= nz // ndev)
         if o == 0:
             src = vol
         else:
             src = downsample_2x(octaves[o - 1][L - 3])
+        if composed:
+            octaves.append(_build_octave_composed_sharded(
+                src, plan, o, mesh, axis))
+            flags.append(True)
+            continue
         if not sharded:
             src = jax.lax.with_sharding_constraint(src, rep)
 

@@ -327,6 +327,32 @@ def _composed_matrices(plan: PyramidPlan, octave: int):
     return out_per_axis
 
 
+@functools.lru_cache(maxsize=64)
+def _composed_matrices_src(plan: PyramidPlan, octave: int):
+    """Composed per-axis blur operators from the octave's OWN source
+    (the already-downsampled level), square [num_gpyr_levels, n_o, n_o]
+    per axis. Octave 0 equals _composed_matrices (the sigma_n -> first
+    level blur folded in); deeper octaves start from the identity (their
+    level 0 is the unblurred downsample). The z-sharded pyramid uses
+    this form: the downsample stays a cheap local selection, and every
+    level computes from the same halo-exchanged source slab."""
+    if octave == 0:
+        return _composed_matrices(plan, 0)
+    L = plan.num_gpyr_levels
+    out_per_axis = []
+    for a in range(3):
+        n = plan.octave_dims[octave][a]
+        acc = np.eye(n, dtype=np.float64)
+        prods = [acc]
+        for i in range(1, L):
+            W = np.asarray(plan.conv_matrices(octave, plan.level_taps[i])[a],
+                           np.float64)
+            acc = W @ acc
+            prods.append(acc)
+        out_per_axis.append(np.stack(prods).astype(np.float32))
+    return out_per_axis
+
+
 def build_gpyr(vol: jnp.ndarray, plan: PyramidPlan) -> list[jnp.ndarray]:
     """Gaussian scale-space pyramid.
 

@@ -506,3 +506,42 @@ def test_512_sharded_memory_budget():
     hbm = 16 * 1024 ** 3
     assert per_dev < hbm // 4, per_dev       # big margin under one chip
     assert per_dev * 3 < single, (per_dev, single)  # sharding earns >3x
+
+
+def test_composed_sharded_octave_matches_and_single_exchange():
+    """The composed sharded octave builder (one halo exchange + batched
+    einsums) matches the replicated composed build within f32 rounding,
+    and its compiled HLO carries exactly ONE ppermute pair (2
+    collective-permutes) for the octave — vs L-1 pairs for the
+    sequential per-level form it replaces."""
+    import jax
+    from sift3d_tpu.params import DetectorParams
+    from sift3d_tpu.parallel import make_mesh
+    from sift3d_tpu.parallel.spatial import (_build_octave_composed_sharded,
+                                             composed_halo)
+    from sift3d_tpu.pyramid import make_plan, scale_to_unit
+
+    params = DetectorParams()
+    plan = make_plan((48, 48, 128), (1.0, 1.0, 1.0), params)
+    assert composed_halo(plan, 0) <= 128 // 4
+    rng = np.random.default_rng(2)
+    vol = scale_to_unit(jnp.asarray(
+        rng.normal(size=(48, 48, 128)).astype(np.float32)))
+
+    from sift3d_tpu.pyramid import _build_octave_composed
+    hi = (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+    ref = _build_octave_composed(vol, plan, 0,
+                                 [(0, plan.num_gpyr_levels, hi)])
+
+    mesh = make_mesh({"z": 4}, jax.devices()[:4])
+    fn = jax.jit(lambda v: _build_octave_composed_sharded(
+        v, plan, 0, mesh, "z"))
+    got = fn(vol)
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() / scale < 1e-6
+
+    hlo = fn.lower(vol).compile().as_text()
+    n_cp = hlo.count("collective-permute-start")
+    if n_cp == 0:
+        n_cp = hlo.count("collective-permute(")
+    assert n_cp == 2, f"expected one ppermute pair, HLO has {n_cp}"
