@@ -213,10 +213,19 @@ def _extract_one(level, coord, center, R, sd,
     return hist.reshape(nb, nb, nb, ICOS_NVERT).reshape(-1, ICOS_NVERT)
 
 
+def _aligned_flat_wins(ishape: tuple[int, int, int]) -> bool:
+    """Policy: use the tiling-preserving flatten when the window's lane
+    (z) extent fills enough of its 128-lane tile that the kernel's
+    dead-lane overhead costs less than the dense repack relayout it
+    replaces (hardware A/B: tools/prep_flat_ab.py)."""
+    cz = -(-ishape[2] // 128) * 128
+    return 3 * ishape[2] >= 2 * cz          # lane occupancy >= 2/3
+
+
 def _prep_window(level, coord, center, R, sd,
                  units: tuple[float, float, float], extents, tile: int,
                  params: DetectorParams, lvl=None, kvalid=None,
-                 z_view=None):
+                 z_view=None, aligned_flat: bool = False):
     """Per-keypoint prep for the Pallas histogram kernel: rotated weighted
     gradients and spatial bins for the whole window, flattened and padded to
     a tile multiple. Masked voxels have their gradient zeroed (their
@@ -291,8 +300,28 @@ def _prep_window(level, coord, center, R, sd,
     M = ishape[0] * ishape[1] * ishape[2]
     Mp = -(-M // tile) * tile
 
-    def fp(a):
-        return jnp.pad(a.reshape(-1), (0, Mp - M))
+    if aligned_flat:
+        # Tiling-preserving flatten: pad the sublane (y) dim to 8 and the
+        # lane (z) dim to a whole 128-lane tile, so the 3D -> flat
+        # reshape keeps every (8, 128) tile in place — XLA emits a cheap
+        # (fusible) pad instead of the dense repack relayout that
+        # dominated prep (~40% of 135 us/slot, tools/prep_micro.py). The
+        # price: the kernel processes the dead padded lanes (zero
+        # gradients -> zero contribution; z-pad fraction 128/(Ez-2)).
+        # Wins when the window's lane extent is near a tile; the dense
+        # repack stays for narrow windows (see _aligned_flat_wins).
+        py = -(-ishape[1] // 8) * 8 - ishape[1]
+        cz = -(-ishape[2] // 128) * 128
+        rows = ishape[0] * (ishape[1] + py)
+        rows_p = -(-(rows * cz) // tile) * tile // cz
+
+        def fp(a):
+            a = jnp.pad(a, ((0, 0), (0, py), (0, cz - ishape[2])))
+            a = a.reshape(rows, cz)
+            return jnp.pad(a, ((0, rows_p - rows), (0, 0))).reshape(-1)
+    else:
+        def fp(a):
+            return jnp.pad(a.reshape(-1), (0, Mp - M))
 
     grot = jnp.stack([fp(a) for a in grot3])    # [3, Mp]
     vbins = jnp.stack([fp(a) for a in vbins3])  # [3, Mp]
@@ -310,7 +339,8 @@ def _prep_window(level, coord, center, R, sd,
 def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
                     kp_chunk: int, params: DetectorParams,
                     interpret: bool = False, level_index=None,
-                    valid=None, z_view=None):
+                    valid=None, z_view=None,
+                    aligned_flat: bool | None = None):
     """Histogram extraction through the Pallas kernel, kp_chunk keypoints
     per call. `valid` (bool[K], optional) zeroes invalid slots' windows so
     the kernel skips them entirely (results are unchanged — those slots
@@ -319,6 +349,8 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
 
     K = coords.shape[0]
     tile = 8192
+    if aligned_flat is None:
+        aligned_flat = _aligned_flat_wins(tuple(e - 2 for e in extents))
     if level_index is None:
         level_index = jnp.zeros((K,), jnp.int32)
         lvl_arg = None
@@ -348,7 +380,7 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
             lambda co, ce, Rk, sdk, lv, va: _prep_window(
                 level, co, ce, Rk, sdk, units, extents, tile, params,
                 lvl=(lv if lvl_arg else None), kvalid=va,
-                z_view=z_view))(
+                z_view=z_view, aligned_flat=aligned_flat))(
             c_coords, c_centers, c_R, c_sd, c_lvl, c_val)
         return desc_hist_pallas(grot, vbins, flags, interpret=interpret,
                                 precision=params.desc_precision)

@@ -118,13 +118,14 @@ def _chain_kernel(*args, TX, TY, nz, HX, HY, lox, loy, gi, gj,
     the blocked output mapped to buf[dst], with dog[dst-1] = src - blurred
     as the free second output."""
     if step:
-        (buf_hbm, dog_hbm, dmax_hbm, wx_ref, wy_ref, wz_ref,
+        (buf_hbm, dog_hbm, wx_ref, wy_ref, wz_ref,
          buf_out, dog_out, dmax_out, slab, tmp1, tmp2, sem) = args
-        del dog_hbm, dmax_hbm  # aliased through to outputs; never read
+        del dog_hbm  # aliased through to dog_out; never read
         src = buf_hbm.at[src_idx]
     else:
         (src, wx_ref, wy_ref, wz_ref,
-         buf_out, dog_out, dmax_out, slab, tmp1, tmp2, sem) = args
+         buf_out, dog_out, slab, tmp1, tmp2, sem) = args
+        dmax_out = None
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -163,19 +164,21 @@ def _chain_kernel(*args, TX, TY, nz, HX, HY, lox, loy, gi, gj,
         dog_out[0] = dog
         # Free per-tile max |DoG|: the extrema threshold pre-pass
         # (peak_thresh * level max |DoG|, sift.c:821-829) otherwise
-        # re-reads the whole DoG the chain just wrote. The tiny
-        # [L-1, nx/8, ny/8] block buffer reduces to per-level maxima in
-        # XLA for free (z-pad margins are zero, |0| never wins the max).
-        dmax_out[0] = jnp.full((TX // 8, TY // 8),
-                               jnp.max(jnp.abs(dog)), jnp.float32)
+        # re-reads the whole DoG the chain just wrote. One scalar per
+        # grid step into the call's own full-shape SMEM row (small
+        # vector blocks fail the Mosaic (8, 128) divisibility rule, and
+        # a sub-shape SMEM block fails it on the level dim); entries
+        # past gi*gj stay garbage — chain_octave slices exactly (z-pad
+        # margins are zero, |0| never wins the max).
+        dmax_out[0, i * gj + j] = jnp.max(jnp.abs(dog))
 
 
-def _copy_kernel(src, buf_out, dog_out, dmax_out, sem, *, TX, TY):
+def _copy_kernel(src, buf_out, dog_out, sem, *, TX, TY):
     """Copy the external source into buf[dst] (octave > 0 level 0: the
     downsampled previous-octave level becomes the first level unblurred,
-    build_gpyr, sift.c:694-707). dog_out/dmax_out are untouched (garbage
-    until the dst=1 step overwrites index 0)."""
-    del dog_out, dmax_out
+    build_gpyr, sift.c:694-707). dog_out is untouched (garbage until the
+    dst=1 step overwrites dog[0])."""
+    del dog_out
     i = pl.program_id(0)
     j = pl.program_id(1)
     cp = pltpu.make_async_copy(
@@ -206,9 +209,8 @@ def chain_tiles(dims, halo, vmem_budget=10 * 1024 * 1024):
             slab = (tx + 2 * HX) * (ty + 2 * HY) * nz * 4
             tmp1 = tx * (ty + 2 * HY) * nz * 4
             tmp2 = tx * ty * nz * 4
-            # double-buffered output blocks (+ the tiny dmax tiles, which
-            # Mosaic pads to one (8, 128) tile each)
-            outs = 2 * 2 * tx * ty * nz * 4 + 2 * 8 * 128 * 4
+            # double-buffered output blocks (the dmax rows live in SMEM)
+            outs = 2 * 2 * tx * ty * nz * 4
             if slab + tmp1 + tmp2 + outs + nz * nz * 4 <= vmem_budget:
                 return tx, ty
     return None
@@ -244,14 +246,19 @@ def _level_halo(diags) -> int:
                _halo(loy, np.asarray(Wy).shape[1]))
 
 
-def _chain_call(buf, dog, dmax, src_ext, diags, L, dims, dst,
+def _chain_call(buf, dog, src_ext, diags, L, dims, dst,
                 interpret=False, nz_logical=None):
-    """One link of the chain. buf/dog/dmax None (with src_ext set)
-    creates the buffers; diags None copies src_ext into buf[dst]
-    unblurred. Tiles are sized per level from ITS band halo (wide-band
-    levels take smaller tiles to fit VMEM). dims are the BUFFER dims (z
-    lane-tile-padded); nz_logical is the volume's true z extent
-    (z-operator rows/cols beyond it are zero, see _dense_z)."""
+    """One link of the chain. buf/dog None (with src_ext set) creates the
+    buffers; diags None copies src_ext into buf[dst] unblurred. Tiles are
+    sized per level from ITS band halo (wide-band levels take smaller
+    tiles to fit VMEM). dims are the BUFFER dims (z lane-tile-padded);
+    nz_logical is the volume's true z extent (z-operator rows/cols beyond
+    it are zero, see _dense_z).
+
+    Step calls (dst >= 1) return a third output: this call's per-tile
+    max |DoG| as one SMEM scalar per grid step (flat i*gj + j) in a
+    full-shape (1, gi*gj) row — NOT threaded through the aliasing (each
+    call owns its row; chain_octave stacks them)."""
     nx, ny, nz = dims
     if nz_logical is None:
         nz_logical = nz
@@ -261,19 +268,18 @@ def _chain_call(buf, dog, dmax, src_ext, diags, L, dims, dst,
     gi, gj = nx // TX, ny // TY
     first = buf is None
     out_shape = [jax.ShapeDtypeStruct((L,) + tuple(dims), jnp.float32),
-                 jax.ShapeDtypeStruct((L - 1,) + tuple(dims), jnp.float32),
-                 jax.ShapeDtypeStruct((L - 1, nx // 8, ny // 8),
-                                      jnp.float32)]
+                 jax.ShapeDtypeStruct((L - 1,) + tuple(dims), jnp.float32)]
     out_specs = [
         pl.BlockSpec((1, TX, TY, nz), lambda i, j: (dst, i, j, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TX, TY, nz),
                      lambda i, j: (max(dst - 1, 0), i, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TX // 8, TY // 8),
-                     lambda i, j: (max(dst - 1, 0), i, j),
-                     memory_space=pltpu.VMEM),
     ]
+    if not first:
+        out_shape.append(jax.ShapeDtypeStruct((1, gi * gj), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, gi * gj), lambda i, j: (0, 0),
+                                      memory_space=pltpu.SMEM))
     if diags is None:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0, grid=(gi, gj),
@@ -320,13 +326,12 @@ def _chain_call(buf, dog, dmax, src_ext, diags, L, dims, dst,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(gi, gj),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)] + w_specs,
         out_specs=out_specs, scratch_shapes=scratch)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
-        input_output_aliases={0: 0, 1: 1, 2: 2},
-        interpret=interpret)(buf, dog, dmax, Wxd, Wyd, Wzd)
+        input_output_aliases={0: 0, 1: 1},
+        interpret=interpret)(buf, dog, Wxd, Wyd, Wzd)
 
 
 def chain_octave(src, plan, octave: int, interpret: bool = False):
@@ -354,16 +359,18 @@ def chain_octave(src, plan, octave: int, interpret: bool = False):
     pdims = (nx, ny, nzp)
     if octave == 0:
         diags0 = plan.conv_diags(0, plan.first_taps)
-        buf, dog, dmx = _chain_call(None, None, None, src, diags0, L,
-                                    pdims, 0, interpret, nz_logical=nz)
+        buf, dog = _chain_call(None, None, src, diags0, L, pdims, 0,
+                               interpret, nz_logical=nz)
     else:
-        buf, dog, dmx = _chain_call(None, None, None, src, None, L,
-                                    pdims, 0, interpret, nz_logical=nz)
+        buf, dog = _chain_call(None, None, src, None, L, pdims, 0,
+                               interpret, nz_logical=nz)
+    dmax_rows = []
     for i in range(1, L):
         diags = plan.conv_diags(octave, plan.level_taps[i])
-        buf, dog, dmx = _chain_call(buf, dog, dmx, None, diags, L, pdims,
-                                    i, interpret, nz_logical=nz)
-    dogmax = jnp.max(dmx, axis=(1, 2))
+        buf, dog, dmx = _chain_call(buf, dog, None, diags, L, pdims, i,
+                                    interpret, nz_logical=nz)
+        dmax_rows.append(jnp.max(dmx))
+    dogmax = jnp.stack(dmax_rows)
     if nzp != nz:
         return buf[:, :, :, :nz], dog[:, :, :, :nz], dogmax
     return buf, dog, dogmax

@@ -210,3 +210,41 @@ def test_chunked_packs_k_gt_8_match_xla():
     desc = jnp.where(valid[:, None, None], desc, 0.0).reshape(K, -1)
     err = np.abs(np.asarray(desc) - np.asarray(ref.desc))
     assert err.max() < 1e-5, err.max()
+
+
+def test_aligned_flat_prep_matches_dense():
+    """The tiling-preserving flatten (pad y to 8 / z to a 128-lane tile,
+    reshape layout-free) must agree with the dense-repack flatten to f32
+    accumulation-order noise — the padded dead lanes carry zero
+    gradients, so their histogram contribution is exactly zero; only the
+    MXU tile grouping (summation order) changes."""
+    from sift3d_tpu.descriptor import _extract_pallas, _level_radius
+    from sift3d_tpu.pyramid import make_plan
+    from sift3d_tpu.windows import window_extent
+
+    p = DetectorParams()
+    rng = np.random.default_rng(3)
+    level = jnp.asarray(rng.normal(size=(3, 48, 48, 48)).astype(np.float32))
+    K = 8
+    coords = jnp.asarray(rng.integers(10, 38, (K, 3)), jnp.int32)
+    R = jnp.asarray(np.stack(
+        [np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+         for _ in range(K)]))
+    lvl = jnp.asarray(rng.integers(0, 3, K), jnp.int32)
+    valid = jnp.asarray(rng.uniform(size=K) < 0.8)
+    plan = make_plan((48, 48, 48), (1.0, 1.0, 1.0), p)
+    scales = np.asarray([plan.scales[0][1 + s] for s in range(3)],
+                        np.float32)
+    sd = jnp.asarray(scales)[lvl]
+    rad = _level_radius(float(scales.max()), p)
+    extents = tuple(window_extent(rad / 1.0, 48) for _ in range(3))
+    kw = dict(interpret=True, level_index=lvl, valid=valid)
+    h_dense = _extract_pallas(level, coords, coords.astype(jnp.float32),
+                              R, sd, (1.0, 1.0, 1.0), extents, 8, p,
+                              aligned_flat=False, **kw)
+    h_al = _extract_pallas(level, coords, coords.astype(jnp.float32),
+                           R, sd, (1.0, 1.0, 1.0), extents, 8, p,
+                           aligned_flat=True, **kw)
+    scale = np.abs(np.asarray(h_dense)).max()
+    assert np.abs(np.asarray(h_dense) - np.asarray(h_al)).max() / scale \
+        < 1e-5
