@@ -540,13 +540,38 @@ class ShardedSIFT3D:
         self._ext_proxy = None
         self._shard_flags = None
         # Per-(octave, dog level) (max per-shard candidate count, max
-        # per-shard accepted count) of the last detection: sizes the
-        # fused hinted program's ori and speculative-descriptor slots.
+        # per-shard accepted count) ENVELOPE (elementwise max over the
+        # last params.hint_history detections — same policy as
+        # SIFT3D._learn_hint): sizes the fused hinted program's ori and
+        # speculative-descriptor slots. The streak counts consecutive
+        # detections with an unchanged envelope; at streak >= 2 the slot
+        # headroom tightens 25% -> ~3% (stable workload).
         self._sh_hint = None
         self._sh_hint_plan = None
+        self._sh_hint_hist: list[dict] = []
+        self._sh_hint_streak = 0
+        self._sh_hint_misses = 0
         # Speculative descriptors of the last hinted detection, keyed by
         # keypoint identity (octave, level, x, y, z).
         self._spec_desc_cache = None
+
+    def _learn_sh_hint(self, plan, raw: dict) -> None:
+        """Fold this detection's raw per-(octave, level) (cand_max,
+        acc_max) counts into the envelope (max over the last
+        params.hint_history detections) — the sharded analogue of
+        SIFT3D._learn_hint. The streak gates tight slot headroom."""
+        hist = (self._sh_hint_hist if self._sh_hint_plan == plan else [])
+        hist.append(raw)
+        del hist[:-self.params.hint_history]
+        env = {k: (max(h.get(k, (0, 0))[0] for h in hist),
+                   max(h.get(k, (0, 0))[1] for h in hist))
+               for k in raw}
+        self._sh_hint_streak = (
+            self._sh_hint_streak + 1
+            if self._sh_hint_plan == plan and env == self._sh_hint else 0)
+        self._sh_hint = env
+        self._sh_hint_plan = plan
+        self._sh_hint_hist = hist
 
     def detect_keypoints(self, vol):
         import warnings
@@ -581,8 +606,12 @@ class ShardedSIFT3D:
             flags = [octave_is_sharded(plan, o, ndev)
                      for o in range(plan.num_octaves)]
 
+            # stable workload (unchanged envelope on consecutive
+            # detections): shrink the slot headroom 25% -> ~3%
+            hr = 5 if self._sh_hint_streak >= 2 else 2
+
             def _m8(v):
-                return max(8, -(-(v + (v >> 2) + 1) // 8) * 8)
+                return max(8, -(-(v + (v >> hr) + 1) // 8) * 8)
 
             ocfg = []
             for (o, i) in keys:
@@ -616,6 +645,7 @@ class ShardedSIFT3D:
                     if slots and int(cnt.max()) <= slots:
                         pending.append(("sh", (o, i), cnt, host_p[idx]))
                     else:   # hint missed: exact redo for this level
+                        self._sh_hint_misses += 1
                         ori = _ori_shard_fn(
                             plan, o, i, self.mesh, self.axis, cap_l)(
                             gpyr[o][i], cand.coords, cand.valid)
@@ -633,6 +663,7 @@ class ShardedSIFT3D:
                     if slots and c <= slots:
                         pending.append(("rep", (o, i), c, host_p[idx]))
                     else:
+                        self._sh_hint_misses += 1
                         b = _bucket(c, cand.coords.shape[0])
                         valid = jnp.arange(b) < c
                         co = cand.coords[:b]
@@ -694,10 +725,10 @@ class ShardedSIFT3D:
         for (o, i), cnt in zip(keys, counts):
             cnt = np.atleast_1d(cnt)
             sh_hint[(o, i)] = [int(cnt.max()), 0]
-        self._sh_hint = {k: tuple(v) for k, v in sh_hint.items()}
-        self._sh_hint_plan = plan
 
         if not pending:
+            self._learn_sh_hint(plan,
+                                {k: tuple(v) for k, v in sh_hint.items()})
             return Keypoints(
                 coords=np.zeros((0, 3)), octave=np.zeros(0, np.int32),
                 level=np.zeros(0, np.int32), sd=np.zeros(0),
@@ -763,7 +794,7 @@ class ShardedSIFT3D:
                 if dp is not None:
                     cache_fill(o, i, co, dp)
             sh_hint[(o, i)][1] = acc_max
-        self._sh_hint = {k: tuple(v) for k, v in sh_hint.items()}
+        self._learn_sh_hint(plan, {k: tuple(v) for k, v in sh_hint.items()})
         self._spec_desc_cache = cache or None
 
         coords = np.concatenate(out_c).astype(np.float64)
