@@ -213,15 +213,6 @@ def _extract_one(level, coord, center, R, sd,
     return hist.reshape(nb, nb, nb, ICOS_NVERT).reshape(-1, ICOS_NVERT)
 
 
-def _aligned_flat_wins(ishape: tuple[int, int, int]) -> bool:
-    """Policy: use the tiling-preserving flatten when the window's lane
-    (z) extent fills enough of its 128-lane tile that the kernel's
-    dead-lane overhead costs less than the dense repack relayout it
-    replaces (hardware A/B: tools/prep_flat_ab.py)."""
-    cz = -(-ishape[2] // 128) * 128
-    return 3 * ishape[2] >= 2 * cz          # lane occupancy >= 2/3
-
-
 def _prep_window(level, coord, center, R, sd,
                  units: tuple[float, float, float], extents, tile: int,
                  params: DetectorParams, lvl=None, kvalid=None,
@@ -303,13 +294,12 @@ def _prep_window(level, coord, center, R, sd,
     if aligned_flat:
         # Tiling-preserving flatten: pad the sublane (y) dim to 8 and the
         # lane (z) dim to a whole 128-lane tile, so the 3D -> flat
-        # reshape keeps every (8, 128) tile in place — XLA emits a cheap
-        # (fusible) pad instead of the dense repack relayout that
-        # dominated prep (~40% of 135 us/slot, tools/prep_micro.py). The
-        # price: the kernel processes the dead padded lanes (zero
-        # gradients -> zero contribution; z-pad fraction 128/(Ez-2)).
-        # Wins when the window's lane extent is near a tile; the dense
-        # repack stays for narrow windows (see _aligned_flat_wins).
+        # reshape keeps every (8, 128) tile in place, trading the dense
+        # repack relayout for dead padded lanes fed to the kernel.
+        # MEASURED NEGATIVE on hardware (tools/prep_flat_ab.py, round 5):
+        # 351 vs 166 us/slot at E=59, 562 vs 349 at E=75 — the kernel's
+        # dead-lane voxels (1.9-2.5x) cost far more than the relayout
+        # saves. Kept as an opt-in A/B arm only; default stays dense.
         py = -(-ishape[1] // 8) * 8 - ishape[1]
         cz = -(-ishape[2] // 128) * 128
         rows = ishape[0] * (ishape[1] + py)
@@ -350,7 +340,7 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
     K = coords.shape[0]
     tile = 8192
     if aligned_flat is None:
-        aligned_flat = _aligned_flat_wins(tuple(e - 2 for e in extents))
+        aligned_flat = False     # measured negative; see _prep_window
     if level_index is None:
         level_index = jnp.zeros((K,), jnp.int32)
         lvl_arg = None

@@ -20,7 +20,7 @@ from device_time import device_time
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    from sift3d_tpu.descriptor import _extract_pallas, _aligned_flat_wins
+    from sift3d_tpu.descriptor import _extract_pallas
     from sift3d_tpu.params import DetectorParams
 
     p = DetectorParams()
@@ -47,9 +47,7 @@ def main():
                 (1.0, 1.0, 1.0), ex, 16, p, level_index=lvl,
                 valid=valid, aligned_flat=al)
             t = device_time(fn, (level,))
-            print(f"E={extents[0]:3d} {name} {t * 1e6 / K:7.1f} us/slot"
-                  f"  (policy would pick aligned="
-                  f"{_aligned_flat_wins(tuple(e - 2 for e in extents))})",
+            print(f"E={extents[0]:3d} {name} {t * 1e6 / K:7.1f} us/slot",
                   flush=True)
 
 
