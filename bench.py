@@ -318,6 +318,10 @@ def _watchdog(argv) -> int:
         # Re-check the oracle cache each attempt: a first attempt killed
         # AFTER run_oracle cached its timing leaves the retry cheap.
         tmo = 900 + _oracle_budget_s(argv)
+        if "--varied" in argv:
+            # 4 phantom builds + uploads + 3 learning cycles + timed
+            # cycles (measured: 900 s is not enough on a slow window)
+            tmo += 900
         last = attempt + 1 == attempts
         verdict = "giving up" if last else "retrying in a fresh process"
         # New session so a timeout can kill the whole process group —
