@@ -240,25 +240,56 @@ def test_extrema_pallas_fused_pipeline_integration():
 def test_extrema_pallas_tile_vmem_budget():
     """The x-tile adapts to the 16 MB scoped-VMEM limit (512^2 lane planes
     overflowed the fixed TX=4 on hardware) and always divides nx."""
-    from sift3d_tpu.ops.extrema_kernel import _pick_tx
+    from sift3d_tpu.ops.extrema_kernel import _pick_cfg
 
-    assert _pick_tx(256, 256, 256, cuboid=False) == (4, False)
-    # db=True requests double buffering where the doubled slabs fit
-    assert _pick_tx(256, 256, 256, cuboid=False, db=True) == (4, True)
-    assert _pick_tx(512, 512, 512, cuboid=False, db=True) == (1, False)
-    assert _pick_tx(512, 512, 512, cuboid=True, db=True) == (1, False)
-    # 384^2 planes: TX=2 single fits, TX=2 double does not — a wider
-    # tile is preferred over double buffering at the same footprint
-    assert _pick_tx(384, 384, 384, cuboid=False, db=True) == (2, False)
-    assert _pick_tx(33, 40, 128, cuboid=False) == (1, False)  # odd nx
+    # 256^2 planes fit whole-y double-buffered slabs at TX=4
+    assert _pick_cfg(256, 256, 256, cuboid=False) == (4, 256, True)
+    # 512^2 lane planes: whole-y forced TX=1 single-buffered in round 4
+    # (28 ms); y-tiling restores a wide double-buffered tile
+    tx, tyy, dbf = _pick_cfg(512, 512, 512, cuboid=False)
+    assert tyy < 512 and dbf and tx >= 4
+    assert _pick_cfg(33, 40, 128, cuboid=False)[0] == 1  # odd nx
+    from sift3d_tpu.ops.extrema_kernel import _YH
     for nx, ny, nz in ((256, 256, 256), (512, 512, 512), (384, 384, 384),
                        (96, 130, 200), (33, 40, 128)):
         for cuboid in (False, True):
             for db in (False, True):
-                tx, dbf = _pick_tx(nx, ny, nz, cuboid, db=db)
-                assert nx % tx == 0
+                tx, tyy, dbf = _pick_cfg(nx, ny, nz, cuboid, db=db)
+                assert nx % tx == 0 and ny % tyy == 0
                 assert db or not dbf
-                slabs = (3 * (tx + 2) if cuboid else 3 * tx + 2)
-                planes = slabs * (2 if dbf else 1) + 6 * tx \
-                    + (4 if cuboid else 2)
-                assert tx == 1 or planes * ny * nz * 4 <= 15 * 2 ** 20
+                tys = tyy + 2 * _YH if tyy != ny else ny
+                txc = tx + 2 if cuboid else tx
+                el = (tx + 2 + 2 * txc) * tys * (2 if dbf else 1) \
+                    + tx * tys + 6 * tx * tyy + tx * tyy // 2
+                assert tx == 1 or el * nz * 4 <= 15 * 2 ** 20
+
+
+def test_extrema_pallas_y_tiled_matches_xla():
+    """The y-tiled stencil configuration (forced via cfg — small shapes
+    pick whole-y slabs) produces the exact mask of the XLA stencil:
+    tile-internal y halos carry real rows, edge-tile margins only touch
+    volume-boundary centers the interior test masks."""
+    from sift3d_tpu.ops.extrema_kernel import extrema_mask_pallas
+
+    rng = np.random.default_rng(4)
+    params = DetectorParams()
+    Ld = params.num_dog_levels
+    n = (24, 64, 128)
+    dog = jnp.asarray(rng.normal(size=(Ld,) + n).astype(np.float32))
+    cur = np.asarray(dog)[1:Ld - 1]
+    thr = jnp.asarray(
+        np.float32(params.peak_thresh) * np.max(np.abs(cur),
+                                                axis=(1, 2, 3)))
+
+    ref = np.asarray(extrema_mask_pallas(dog, thr, interpret=True,
+                                         cfg=(4, 64, False)))
+    for cfg in ((4, 16, False), (4, 16, True), (8, 32, True),
+                (2, 8, True)):
+        got = np.asarray(extrema_mask_pallas(dog, thr, interpret=True,
+                                             cfg=cfg))
+        assert np.array_equal(ref, got), cfg
+    # and against the XLA stencil's candidate count
+    from sift3d_tpu.detect import detect_extrema_octave
+    a = detect_extrema_octave(dog, params, 512, use_pallas=False)
+    idx = np.argwhere(ref.astype(bool))
+    assert int(np.asarray(a.counts).sum()) == len(idx)

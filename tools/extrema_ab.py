@@ -21,7 +21,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     from scipy.ndimage import gaussian_filter
 
-    from sift3d_tpu.ops.extrema_kernel import _pick_tx, extrema_mask_pallas
+    from sift3d_tpu.ops.extrema_kernel import _pick_cfg, extrema_mask_pallas
     from sift3d_tpu.params import DetectorParams
 
     params = DetectorParams()
@@ -36,8 +36,8 @@ def main():
                       jnp.float32)
     jax.device_get(jnp.sum(dog))
 
-    print(f"pick_tx single: {_pick_tx(n, n, n, False)}  "
-          f"db: {_pick_tx(n, n, n, False, db=True)}", flush=True)
+    print(f"pick_cfg single: {_pick_cfg(n, n, n, False, db=False)}  "
+          f"db: {_pick_cfg(n, n, n, False)}", flush=True)
 
     m_single = np.asarray(jax.device_get(
         extrema_mask_pallas(dog, thr, db=False)))
