@@ -216,7 +216,8 @@ def _extract_one(level, coord, center, R, sd,
 def _prep_window(level, coord, center, R, sd,
                  units: tuple[float, float, float], extents, tile: int,
                  params: DetectorParams, lvl=None, kvalid=None,
-                 z_view=None, aligned_flat: bool = False):
+                 z_view=None, aligned_flat: bool = False,
+                 affine_vbins: bool = False):
     """Per-keypoint prep for the Pallas histogram kernel: rotated weighted
     gradients and spatial bins for the whole window, flattened and padded to
     a tile multiple. Masked voxels have their gradient zeroed (their
@@ -314,7 +315,28 @@ def _prep_window(level, coord, center, R, sd,
             return jnp.pad(a.reshape(-1), (0, Mp - M))
 
     grot = jnp.stack([fp(a) for a in grot3])    # [3, Mp]
-    vbins = jnp.stack([fp(a) for a in vbins3])  # [3, Mp]
+    if affine_vbins:
+        # Don't flatten the three vbins arrays (the relayout is the
+        # single largest prep cost, tools/prep_micro.py): vb_j is affine
+        # in the window-local voxel coordinates, so ship the kernel 12
+        # coefficients and let it rebuild vb against the call-shared
+        # coordinate array (ops/desc_kernel._affine_vb). The MASK above
+        # (and so grot and the flags) still uses the original vb
+        # formula — bin assignment/zeroing decisions are unchanged; only
+        # the interpolation weights move by ~ulps.
+        fctr = desc_bin_fctr
+        su = [(start[a].astype(jnp.float32) + 1.0 - center[a])
+              * (ux, uy, uz)[a] for a in range(3)]
+        aff = jnp.stack([
+            v for j in range(3) for v in (
+                (su[0] * R[0, j] + su[1] * R[1, j] + su[2] * R[2, j]
+                 + desc_half_width) * fctr,
+                ux * R[0, j] * fctr,
+                uy * R[1, j] * fctr,
+                uz * R[2, j] * fctr)])      # [12]
+        vbins = aff
+    else:
+        vbins = jnp.stack([fp(a) for a in vbins3])  # [3, Mp]
     # Per-voxel-tile any-valid flags: the kernel skips the per-voxel math
     # for tiles that are entirely masked out (bounding-cube corners outside
     # the sphere, window margin of small-sd keypoints in mixed-level
@@ -341,6 +363,7 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
     tile = 8192
     if aligned_flat is None:
         aligned_flat = False     # measured negative; see _prep_window
+    affine_vbins = params.desc_vbins == "affine" and not aligned_flat
     if level_index is None:
         level_index = jnp.zeros((K,), jnp.int32)
         lvl_arg = None
@@ -364,14 +387,37 @@ def _extract_pallas(level, coords, centers, R, sd_arr, units, extents,
             a[perm] for a in (coords, centers, R, sd_arr, level_index,
                               valid))
 
+    # Affine-vbins mode: ONE [3, Mp] window-local coordinate array shared
+    # by every keypoint of the call (pure 1-D iota arithmetic over the
+    # FLAT index — no 3-D reshape, so no relayout; loop-invariant, XLA
+    # hoists it out of the chunk scan). The pad rows' coordinates don't
+    # matter: padded slots carry zero gradients.
+    if affine_vbins:
+        ishape = tuple(e - 2 for e in extents)
+        M = int(np.prod(ishape))
+        Mp = -(-M // tile) * tile
+        m = jnp.arange(Mp, dtype=jnp.int32)
+        xyz = jnp.stack([
+            (m // (ishape[1] * ishape[2])).astype(jnp.float32),
+            ((m // ishape[2]) % ishape[1]).astype(jnp.float32),
+            (m % ishape[2]).astype(jnp.float32)])
+    else:
+        xyz = None
+
     def chunk_fn(args):
         c_coords, c_centers, c_R, c_sd, c_lvl, c_val = args
         grot, vbins, flags = jax.vmap(
             lambda co, ce, Rk, sdk, lv, va: _prep_window(
                 level, co, ce, Rk, sdk, units, extents, tile, params,
                 lvl=(lv if lvl_arg else None), kvalid=va,
-                z_view=z_view, aligned_flat=aligned_flat))(
+                z_view=z_view, aligned_flat=aligned_flat,
+                affine_vbins=affine_vbins))(
             c_coords, c_centers, c_R, c_sd, c_lvl, c_val)
+        if affine_vbins:
+            return desc_hist_pallas(grot, flags=flags,
+                                    interpret=interpret,
+                                    precision=params.desc_precision,
+                                    aff=vbins, xyz=xyz)
         return desc_hist_pallas(grot, vbins, flags, interpret=interpret,
                                 precision=params.desc_precision)
 

@@ -59,8 +59,11 @@ def _paired_constants():
     return mt, pri, eb
 
 
-def _kernel(flags_ref, grot_ref, vbins_ref, mt_ref, pri_ref, eb_ref,
-            out_ref, acc):
+def _kernel(flags_ref, grot_ref, vbins_ref, *rest, affine=False):
+    if affine:
+        aff_ref, mt_ref, pri_ref, eb_ref, out_ref, acc = rest
+    else:
+        mt_ref, pri_ref, eb_ref, out_ref, acc = rest
     k = pl.program_id(0)
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
@@ -71,7 +74,9 @@ def _kernel(flags_ref, grot_ref, vbins_ref, mt_ref, pri_ref, eb_ref,
 
     @pl.when(flags_ref[k, c] > 0)
     def _():
-        ZY, P = _face_hist(grot_ref[0], vbins_ref[0], mt_ref[:],
+        vb = (_affine_vb(aff_ref, k, vbins_ref) if affine
+              else vbins_ref[0])
+        ZY, P = _face_hist(grot_ref[0], vb, mt_ref[:],
                            pri_ref[:], eb_ref[:])
         acc[:] += jax.lax.dot_general(
             ZY, P, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -183,12 +188,34 @@ def _face_hist(g, vb, mt, pri, eb):
     return ZY, P
 
 
+def _affine_vb(aff_ref, kp, xyz_ref):
+    """Rebuild a keypoint's spatial-bin rows from its affine coefficients.
+
+    vbins is affine in the window-local voxel coordinates (descriptor.py
+    _prep_window: vb_j = ((axes - c) . u R[:, j] + hw) * fctr with
+    axes = start + 1 + iota), so instead of streaming three [N] f32
+    arrays per keypoint from HBM the kernel reads 12 scalars
+    (a_j, bx_j, by_j, bz_j per bin axis j) from SMEM and evaluates
+    vb_j = a_j + bx_j x + by_j y + bz_j z against ONE [3, N] coordinate
+    array shared by every keypoint of the call. The evaluation order
+    differs from the XLA path by distribution of the products, so vb
+    moves by ~ulps — sparse4's interpolation weights are continuous in
+    vb (including across floor boundaries) and the mask that zeroes
+    out-of-range/out-of-sphere voxels is still decided in prep on the
+    ORIGINAL formula (it zeroes grot), so descriptors move by O(1e-6)
+    relative, not discontinuously."""
+    x, y, z = xyz_ref[0], xyz_ref[1], xyz_ref[2]
+    return tuple(
+        aff_ref[kp, 4 * j] + aff_ref[kp, 4 * j + 1] * x
+        + aff_ref[kp, 4 * j + 2] * y + aff_ref[kp, 4 * j + 3] * z
+        for j in range(3))
+
+
 _G = 8  # keypoints packed per grid step in the batched kernel
 
 
-def _kernel_packed(words_ref, grot_ref, vbins_ref, mt_ref, pri_ref,
-                   eb_ref, out_ref, acc, zy_s, p_s, dirty, *,
-                   mxu_prec=None):
+def _kernel_packed(words_ref, grot_ref, vbins_ref, *rest,
+                   mxu_prec=None, affine=False):
     """8 keypoints per grid step; their [16,T]x[T,48] histogram
     contractions fuse into ONE [128,T]x[T,384] MXU pass (only the 8
     diagonal [16,48] blocks of the result are used; the packing still wins
@@ -212,7 +239,16 @@ def _kernel_packed(words_ref, grot_ref, vbins_ref, mt_ref, pri_ref,
     MXU pass with f32 accumulation, the historical behavior;
     Precision.HIGHEST = 6-pass f32, ~1.6x slower kernel, <= 3e-4 rel-L2
     apart — tools/desc_bf16.py). All per-voxel math — face selection in
-    particular, whose eps comparisons decide bin assignment — stays f32."""
+    particular, whose eps comparisons decide bin assignment — stays f32.
+
+    affine=True swaps the per-keypoint vbins blocks for the shared
+    coordinate array (vbins_ref is then xyz [3, TILE]) plus per-keypoint
+    affine coefficients in SMEM (aff_ref [K, 12]) — see _affine_vb."""
+    if affine:
+        (aff_ref, mt_ref, pri_ref, eb_ref, out_ref, acc, zy_s, p_s,
+         dirty) = rest
+    else:
+        mt_ref, pri_ref, eb_ref, out_ref, acc, zy_s, p_s, dirty = rest
     k = pl.program_id(0)
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
@@ -239,8 +275,9 @@ def _kernel_packed(words_ref, grot_ref, vbins_ref, mt_ref, pri_ref,
 
             @pl.when(f > 0)
             def _(j=j):
-                ZY, P = _face_hist(grot_ref[j], vbins_ref[j], mt, pri,
-                                   eb)
+                vb = (_affine_vb(aff_ref, k * _G + j, vbins_ref)
+                      if affine else vbins_ref[j])
+                ZY, P = _face_hist(grot_ref[j], vb, mt, pri, eb)
                 zy_s[j * NB * NB:(j + 1) * NB * NB, :] = ZY
                 p_s[j * NB * ICOS_NVERT:(j + 1) * NB * ICOS_NVERT, :] = P
                 dirty[j] = 1
@@ -264,8 +301,10 @@ def _kernel_packed(words_ref, grot_ref, vbins_ref, mt_ref, pri_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "precision"))
-def desc_hist_pallas(grot, vbins, flags=None, interpret: bool = False,
-                     tile: int | None = None, precision: str = "highest"):
+def desc_hist_pallas(grot, vbins=None, flags=None,
+                     interpret: bool = False,
+                     tile: int | None = None, precision: str = "highest",
+                     aff=None, xyz=None):
     """Histograms [K, 16, 48] from grot/vbins [K, 3, N] (N % 512 == 0).
 
     flags: optional i32[K, N // FLAG_TILE] per-voxel-tile any-valid marks
@@ -273,21 +312,31 @@ def desc_hist_pallas(grot, vbins, flags=None, interpret: bool = False,
     VPU math. None processes every tile (same results — masked voxels
     contribute exactly zero either way).
 
+    Affine-vbins mode (DetectorParams.desc_vbins="affine"): pass
+    aff f32[K, 12] + xyz f32[3, N] instead of vbins — the kernel rebuilds
+    each keypoint's spatial-bin rows from 12 SMEM scalars against the
+    shared coordinate array (see _affine_vb), removing the per-keypoint
+    vbins flatten relayout in prep and half the kernel's HBM input.
+
     precision: "default" = one bf16 MXU pass with f32 accumulation for the
     histogram contraction (historical behavior); "highest" = 6-pass f32
     (DetectorParams.desc_precision)."""
     K, _, N = grot.shape
+    assert (vbins is None) != (aff is None), "pass exactly one of vbins/aff"
+    if aff is not None:
+        assert xyz is not None and xyz.shape == (3, N) \
+            and aff.shape == (K, 12), (aff.shape, xyz.shape)
     if flags is None:
         flags = jnp.ones((K, N // FLAG_TILE), jnp.int32)
     if K % _G == 0:
         return _desc_hist_packed(grot, vbins, flags, interpret, tile,
-                                 precision)
-    return _desc_hist_single(grot, vbins, flags, interpret)
+                                 precision, aff, xyz)
+    return _desc_hist_single(grot, vbins, flags, interpret, aff, xyz)
 
 
 def _desc_hist_packed(grot, vbins, flags, interpret: bool = False,
                       tile: int | None = None,
-                      precision: str = "highest"):
+                      precision: str = "highest", aff=None, xyz=None):
     K, _, N = grot.shape
     # 8192 exceeds the 16 MB scoped-VMEM limit in f32 (p_s scratch
     # [384, TILE]); the kernel is MXU-bound on the contraction, and larger
@@ -297,7 +346,9 @@ def _desc_hist_packed(grot, vbins, flags, interpret: bool = False,
         grot.shape, flags.shape, TILE)
     mxu_prec = (jax.lax.Precision.DEFAULT if precision == "default"
                 else jax.lax.Precision.HIGHEST)
-    kernel = functools.partial(_kernel_packed, mxu_prec=mxu_prec)
+    affine = aff is not None
+    kernel = functools.partial(_kernel_packed, mxu_prec=mxu_prec,
+                               affine=affine)
 
     mt, pri, eb = _paired_constants()
 
@@ -311,14 +362,27 @@ def _desc_hist_packed(grot, vbins, flags, interpret: bool = False,
 
     grid = (K // _G, N // TILE)
     M_zy, M_p = _G * NB * NB, _G * NB * ICOS_NVERT
+    if affine:
+        vb_specs = [
+            pl.BlockSpec((3, TILE), lambda k, c, w: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(aff.shape, lambda k, c, w: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        vb_args = (xyz, aff)
+    else:
+        vb_specs = [
+            pl.BlockSpec((_G, 3, TILE), lambda k, c, w: (k, 0, c),
+                         memory_space=pltpu.VMEM),
+        ]
+        vb_args = (vbins,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((_G, 3, TILE), lambda k, c, w: (k, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_G, 3, TILE), lambda k, c, w: (k, 0, c),
-                         memory_space=pltpu.VMEM),
+            *vb_specs,
             pl.BlockSpec((40, 3), lambda k, c, w: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((10, 3), lambda k, c, w: (0, 0),
@@ -342,17 +406,33 @@ def _desc_hist_packed(grot, vbins, flags, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((K, NB * NB, NB * ICOS_NVERT),
                                        jnp.float32),
         interpret=interpret,
-    )(words, grot, vbins, mt, pri, eb)
+    )(words, grot, *vb_args, mt, pri, eb)
 
 
-def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
+def _desc_hist_single(grot, vbins, flags, interpret: bool = False,
+                      aff=None, xyz=None):
     K, _, N = grot.shape
     TILE = FLAG_TILE
     assert N % TILE == 0 and flags.shape == (K, N // TILE), (
         grot.shape, flags.shape, TILE)
 
     mt, pri, eb = _paired_constants()
+    affine = aff is not None
 
+    if affine:
+        vb_specs = [
+            pl.BlockSpec((3, TILE), lambda k, c, f: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(aff.shape, lambda k, c, f: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        vb_args = (xyz, aff)
+    else:
+        vb_specs = [
+            pl.BlockSpec((1, 3, TILE), lambda k, c, f: (k, 0, c),
+                         memory_space=pltpu.VMEM),
+        ]
+        vb_args = (vbins,)
     grid = (K, N // TILE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -360,8 +440,7 @@ def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((1, 3, TILE), lambda k, c, f: (k, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TILE), lambda k, c, f: (k, 0, c),
-                         memory_space=pltpu.VMEM),
+            *vb_specs,
             pl.BlockSpec((40, 3), lambda k, c, f: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((10, 3), lambda k, c, f: (0, 0),
@@ -376,9 +455,9 @@ def _desc_hist_single(grot, vbins, flags, interpret: bool = False):
             pltpu.VMEM((NB * NB, NB * ICOS_NVERT), jnp.float32)],
     )
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, affine=affine),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, NB * NB, NB * ICOS_NVERT),
                                        jnp.float32),
         interpret=interpret,
-    )(flags, grot, vbins, mt, pri, eb)
+    )(flags, grot, *vb_args, mt, pri, eb)

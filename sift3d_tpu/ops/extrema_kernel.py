@@ -85,9 +85,15 @@ def _neighbor(tile, xnb, dx, dy, dz, c0, TX, YH, TYY):
 
 
 def _stencil_compute(thr_ref, l, x0, c0, y0, cur_s, prev_s, next_s,
-                     xnb_s, out_ref, *, TX, TYY, YH, nx, ny, nz, cuboid):
+                     xnb_s, out_ref, *, TX, TYY, YH, nx, ny, nz, cuboid,
+                     out_l=0, pn_halo=False):
     """Shared stencil body: compares + threshold + interior mask, from
-    slab refs already resident in VMEM."""
+    slab refs already resident in VMEM.
+
+    pn_halo: prev/next slabs carry the same +-1 x halo as cur (the
+    FUSED variant shares one slab per level across all center levels),
+    so their face-mode center reads slice at c0; out_l selects the
+    output block's level row."""
     center = cur_s[pl.ds(c0, TX), YH:YH + TYY] if YH \
         else cur_s[pl.ds(c0, TX)]
     is_max = None
@@ -113,8 +119,14 @@ def _stencil_compute(thr_ref, l, x0, c0, y0, cur_s, prev_s, next_s,
         for off in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
                     (0, 0, -1), (0, 0, 1)):
             cmp(_neighbor(cur_s, xnb_s, *off, c0, TX, YH, TYY))
-        cmp(prev_s[:, YH:YH + TYY] if YH else prev_s[:])
-        cmp(next_s[:, YH:YH + TYY] if YH else next_s[:])
+        if pn_halo:
+            cmp(prev_s[pl.ds(c0, TX), YH:YH + TYY] if YH
+                else prev_s[pl.ds(c0, TX)])
+            cmp(next_s[pl.ds(c0, TX), YH:YH + TYY] if YH
+                else next_s[pl.ds(c0, TX)])
+        else:
+            cmp(prev_s[:, YH:YH + TYY] if YH else prev_s[:])
+            cmp(next_s[:, YH:YH + TYY] if YH else next_s[:])
 
     thr = thr_ref[l]
     m = ((center > thr) | (center < -thr)) & (is_max | is_min)
@@ -130,7 +142,7 @@ def _stencil_compute(thr_ref, l, x0, c0, y0, cur_s, prev_s, next_s,
     az = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
     m &= ((ax >= 1) & (ax <= nx - 2)) & ((ay >= 1) & (ay <= ny - 2)) \
         & ((az >= 1) & (az <= nz - 2))
-    out_ref[0] = m.astype(jnp.int8)
+    out_ref[out_l] = m.astype(jnp.int8)
 
 
 def _copy_slab(src, dst, sem, xs, XL, ty, gj, act, *, TYY, YH, ny):
@@ -262,27 +274,78 @@ def _kernel_db(thr_ref, dog_ref, out_ref, cur_s, prev_s, next_s, xnb_s,
                      nx=nx, ny=ny, nz=nz, cuboid=cuboid)
 
 
-def _cfg_cost(TX, TYY, dbf, ny):
-    """Relative HBM traffic per output voxel: halo overhead of the x
-    slab times the y band overhead, plus a penalty for single-buffered
-    DMA (measured ~1.5x wall at 256^3)."""
-    TYS = TYY + 2 * _YH if TYY != ny else TYY
-    over = (3 * TX + 2) / (3 * TX) * (TYS / TYY)
-    return over * (1.0 if dbf else 1.5)
+def _lvl_dmas(dog_ref, lvl_s, sem_v, i, ty, act, *, Ld, TX, TYY, YH,
+              nx, ny, gj):
+    """Start or wait the Ld level-slab copies for tile (i, ty) of the
+    FUSED variant: EVERY level carries the same +-1 x-halo slab (it
+    serves as `cur` for one center level and prev/next for its
+    neighbors), DMA start clamped into the level like `cur`'s."""
+    x0 = i * TX
+    SX = TX + 2
+    d0 = jnp.clip(x0 - 1, 0, nx - SX)
+    for ld in range(Ld):
+        _copy_slab(dog_ref.at[ld], lvl_s.at[ld], sem_v.at[ld], d0, SX,
+                   ty, gj, act, TYY=TYY, YH=YH, ny=ny)
+
+
+def _kernel_fused_db(thr_ref, dog_ref, out_ref, lvl_s, xnb_s, sems, *,
+                     Ld, TX, TYY, YH, nx, ny, nz, gi, gj, cuboid):
+    """Fused-octave double-buffered variant: one grid over (i, ty)
+    spatial tiles; each step DMAs ALL Ld DoG level slabs once and
+    computes every center level's mask from them — each DoG voxel is
+    read ~Ld*(TX+2)/(TX*nl) times instead of ~3x (a level is prev, cur
+    AND next of adjacent center levels, but the per-level grid re-read
+    it for each role). Per-tile traffic drops ~30% at 256^3 and the DMA
+    issue count per tile falls 3*nl -> Ld."""
+    i = pl.program_id(0)
+    ty = pl.program_id(1)
+    nl = Ld - 2
+    step = i * gj + ty
+    slot = jax.lax.rem(step, 2)
+
+    def dmas(i_, t_, s, act):
+        _lvl_dmas(dog_ref, lvl_s.at[s], sems.at[s], i_, t_, act,
+                  Ld=Ld, TX=TX, TYY=TYY, YH=YH, nx=nx, ny=ny, gj=gj)
+
+    @pl.when(step == 0)
+    def _():
+        dmas(i, ty, slot, "start")
+
+    @pl.when(step < gi * gj - 1)
+    def _():
+        wrap_t = ty == gj - 1
+        nt = jnp.where(wrap_t, 0, ty + 1)
+        ni = jnp.where(wrap_t, i + 1, i)
+        dmas(ni, nt, 1 - slot, "start")
+
+    dmas(i, ty, slot, "wait")
+
+    x0, c0, y0 = _tile_origin(i, ty, TX=TX, TYY=TYY, nx=nx)
+    for l in range(nl):
+        _stencil_compute(thr_ref, l, x0, c0, y0, lvl_s.at[slot, l + 1],
+                         lvl_s.at[slot, l], lvl_s.at[slot, l + 2],
+                         xnb_s, out_ref, TX=TX, TYY=TYY,
+                         YH=(YH if gj > 1 else 0), nx=nx, ny=ny, nz=nz,
+                         cuboid=cuboid, out_l=l, pn_halo=True)
 
 
 def _pick_cfg(nx: int, ny: int, nz: int, cuboid: bool,
-              db: bool = True):
-    """(TX, TYY, double_buffer) adapted to the 16 MB scoped-VMEM limit.
+              db: bool = True, nl: int = 3):
+    """(TX, TYY, double_buffer, fused) adapted to the 16 MB scoped-VMEM
+    limit, minimizing HBM slab reads per center voxel (x1.5 when
+    single-buffered — measured wall penalty at 256^3).
 
-    Footprint per grid step, in f32 elements x nz: slabs
-    (TX+2 + 2*TXc) * TYS (doubled when double-buffered) + xnb TX*TYS +
-    ~5*TX*TYY compare-chain liveness + the (double-buffered int8)
-    output blocks. Candidates: TX in {8, 4, 2, 1} x TYY in whole-ny or
-    halved-down y tiles (>= 64 rows, 8-aligned); the cheapest feasible
-    configuration by _cfg_cost wins (512^2 lane planes: whole-y forced
-    TX=1 single-buffered, 28 ms at 512^3 — y-tiling restores TX=8
-    double-buffered)."""
+    Footprint per grid step, in f32 elements x nz: slabs (doubled when
+    double-buffered) + xnb TX*TYS + ~6*TX*TYY compare-chain liveness +
+    the (double-buffered int8) output blocks. Per-level mode reads
+    (TX+2 + 2*TXc)*TYS per center level; FUSED mode reads all Ld level
+    slabs once per spatial tile ((nl+2)*(TX+2)*TYS serving nl center
+    levels — each level is prev, cur AND next of adjacent centers), a
+    ~30% traffic cut at 256^3 when its larger scratch fits. Candidates:
+    TX in {8, 4, 2, 1} x TYY in whole-ny or halved-down y tiles (>= 64
+    rows, 8-aligned); the cheapest feasible configuration wins (512^2
+    lane planes: whole-y forced TX=1 single-buffered, 28 ms at 512^3 —
+    y-tiling restores TX=8 double-buffered)."""
     budget = 15 * 2 ** 20 / (nz * 4)
     tyy_opts = [ny]
     t = ny
@@ -296,18 +359,24 @@ def _pick_cfg(nx: int, ny: int, nz: int, cuboid: bool,
         TXc = TX + 2 if cuboid else TX
         for TYY in tyy_opts:
             TYS = TYY + 2 * _YH if TYY != ny else TYY
-            slabs = (TX + 2 + 2 * TXc) * TYS
-            for dbf in ([True, False] if db else [False]):
-                el = slabs * (2 if dbf else 1) + TX * TYS \
-                    + 6 * TX * TYY + (TX * TYY // 2)
-                if el > budget:
-                    continue
-                cost = _cfg_cost(TX, TYY, dbf, ny)
-                if best is None or cost < best[0]:
-                    best = (cost, TX, TYY, dbf)
+            fixed = TX * TYS + 6 * TX * TYY
+            for fused in (True, False):
+                slabs = ((nl + 2) * (TX + 2) * TYS if fused
+                         else (TX + 2 + 2 * TXc) * TYS)
+                out = (nl if fused else 1) * TX * TYY // 2
+                for dbf in ([True, False] if db else [False]):
+                    if fused and not dbf:
+                        continue  # fused is only built double-buffered
+                    el = slabs * (2 if dbf else 1) + fixed + out
+                    if el > budget:
+                        continue
+                    reads = slabs / ((nl if fused else 1) * TX * TYY)
+                    cost = reads * (1.0 if dbf else 1.5)
+                    if best is None or cost < best[0]:
+                        best = (cost, TX, TYY, dbf, fused)
     if best is None:
-        return 1, ny, False
-    return best[1], best[2], best[3]
+        return 1, ny, False, False
+    return best[1], best[2], best[3], best[4]
 
 
 @functools.partial(jax.jit,
@@ -321,14 +390,18 @@ def extrema_mask_pallas(dog_oct, thresholds, cuboid: bool = False,
     dog_oct: f32[num_dog_levels, nx, ny, nz]; thresholds: f32[nl] peak
     thresholds (peak_thresh * per-level max |DoG|, sift.c:821-829).
     db: None = double-buffer the slab DMAs when they fit scoped VMEM;
-    True/False force. cfg: force (TX, TYY, db) directly (testing/A-B —
-    every feasible configuration is bit-identical).
+    True/False force. cfg: force (TX, TYY, db) or (TX, TYY, db, fused)
+    directly (testing/A-B — every feasible configuration is
+    bit-identical).
     """
     Ld, nx, ny, nz = dog_oct.shape
     nl = Ld - 2
-    TX, TYY, dbf = cfg or _pick_cfg(nx, ny, nz, cuboid,
-                                    db=True if db is None else db)
+    picked = cfg or _pick_cfg(nx, ny, nz, cuboid,
+                              db=True if db is None else db, nl=nl)
+    TX, TYY, dbf = picked[:3]
+    fused = picked[3] if len(picked) > 3 else False
     assert nx % TX == 0 and ny % TYY == 0, (nx, TX, ny, TYY)
+    assert not fused or dbf, "fused variant is only built double-buffered"
     SX = TX + 2
     gi = nx // TX
     gj = ny // TYY
@@ -336,6 +409,29 @@ def extrema_mask_pallas(dog_oct, thresholds, cuboid: bool = False,
     TXc = SX if cuboid else TX
 
     slab_lead = (2,) if dbf else ()
+    if fused:
+        kernel = functools.partial(
+            _kernel_fused_db, Ld=Ld, TX=TX, TYY=TYY, YH=_YH, nx=nx,
+            ny=ny, nz=nz, gi=gi, gj=gj, cuboid=cuboid)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gi, gj),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((nl, TX, TYY, nz),
+                                   lambda i, t, w: (0, i, t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, Ld, SX, TYS, nz), jnp.float32),
+                pltpu.VMEM((TX, TYS, nz), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, Ld)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nl, nx, ny, nz), jnp.int8),
+            interpret=interpret,
+        )(thresholds, dog_oct)
     kern = (functools.partial(_kernel_db, gi=gi) if dbf else _kernel)
     kernel = functools.partial(kern, TX=TX, TYY=TYY, YH=_YH, nx=nx,
                                ny=ny, nz=nz, gj=gj, cuboid=cuboid)

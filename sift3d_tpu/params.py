@@ -152,6 +152,20 @@ class DetectorParams:
     # its recent peak. 1 = size to the last volume only (per-volume
     # equality gating, the round-4 behavior).
     hint_history: int = 4
+    # Spatial-bin coordinates fed to the Pallas descriptor kernel:
+    # "affine" = prep ships 12 affine coefficients per keypoint (SMEM)
+    # plus ONE call-shared [3, N] window-coordinate array, and the kernel
+    # rebuilds vb = a + b . (x, y, z) per voxel — skipping the flatten
+    # relayout of three [N] f32 arrays per keypoint (the single largest
+    # prep cost, tools/prep_micro.py) and half the kernel's HBM input.
+    # Masking/bin-assignment decisions still come from the original
+    # formula in prep (they zero grot), so only interpolation weights
+    # move, by ~ulps. "packed" = flatten vbins like grot (the historical
+    # layout; the A/B reference). Measured (tools/vbins_ab.py, 256^3
+    # level windows, prep+kernel): affine 89.7/169.3/328.2 us/kp vs
+    # packed 97.6/184.0/348.1 at 49^3/61^3/75^3 — a 6-8% stage win with
+    # rel max|diff| <= 6e-5, far inside the 1% parity bar.
+    desc_vbins: str = "affine"
     # Extrema stencil implementation: "auto" = the Pallas mask kernel
     # (ops/extrema_kernel.py) on TPU for octaves with nz % 128 == 0 and
     # nx % 8 == 0, the XLA shifted-slice stencil otherwise; "xla" forces
@@ -217,6 +231,10 @@ class DetectorParams:
         if self.hint_history < 1:
             raise ValueError(
                 f"hint_history must be >= 1, got {self.hint_history}")
+        if self.desc_vbins not in ("packed", "affine"):
+            raise ValueError(
+                f"desc_vbins must be 'packed' or 'affine', "
+                f"got {self.desc_vbins!r}")
         if self.extrema_impl not in ("auto", "xla", "pallas", "interpret"):
             raise ValueError(
                 f"extrema_impl must be 'auto', 'xla', 'pallas' or "

@@ -212,6 +212,66 @@ def test_chunked_packs_k_gt_8_match_xla():
     assert err.max() < 1e-5, err.max()
 
 
+def test_affine_vbins_matches_packed():
+    """desc_vbins="affine" ships 12 affine coefficients per keypoint +
+    one shared coordinate array instead of flattened [3, N] vbins; the
+    kernel rebuilds vb per voxel (ops/desc_kernel._affine_vb). Masking
+    decisions are still made in prep on the original formula, so the two
+    layouts agree to ulp-level interpolation-weight noise — on the
+    packed (K=8), single (K=3), and mixed-level chunked (K=16) paths."""
+    from sift3d_tpu.descriptor import (_extract_pallas, _level_radius,
+                                       _normalize, extract_descriptors)
+    from sift3d_tpu.pyramid import make_plan
+    from sift3d_tpu.windows import window_extent
+
+    rng = np.random.default_rng(5)
+    L = 3
+    levels = jnp.asarray(
+        rng.normal(size=(L, 48, 48, 48)).astype(np.float32))
+    K = 16
+    coords = jnp.asarray(rng.integers(10, 38, (K, 3)), jnp.int32)
+    R = jnp.asarray(np.stack(
+        [np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+         for _ in range(K)]))
+    lvl = jnp.asarray(rng.integers(0, L, K), jnp.int32)
+    valid = jnp.asarray(rng.uniform(size=K) < 0.7)
+    base = DetectorParams()
+    plan = make_plan((48, 48, 48), (1.0, 1.0, 1.0), base)
+    scales = np.asarray([plan.scales[0][1 + s] for s in range(L)],
+                        np.float32)
+    sd = jnp.asarray(scales)[lvl]
+    sd_max = float(scales.max())
+    rad = _level_radius(sd_max, base)
+    extents = tuple(window_extent(rad / 1.0, 48) for _ in range(3))
+
+    def run(p, k):
+        return np.asarray(_extract_pallas(
+            levels, coords[:k], coords[:k].astype(jnp.float32), R[:k],
+            sd[:k], (1.0, 1.0, 1.0), extents, 8, p, interpret=True,
+            level_index=lvl[:k], valid=valid[:k]))
+
+    for k in (8, 3, 16):  # packed, single, chunked-mixed
+        hp = run(DetectorParams(), k)
+        ha = run(DetectorParams(desc_vbins="affine"), k)
+        scale = np.abs(hp).max()
+        assert np.abs(hp - ha).max() / scale < 1e-5, (
+            k, np.abs(hp - ha).max() / scale)
+
+    # and against the XLA reference end to end
+    p = DetectorParams(desc_vbins="affine")
+    ref = extract_descriptors(levels, coords, R, valid, sd,
+                              use_pallas=False, octave=0,
+                              units=(1.0, 1.0, 1.0), params=p,
+                              sd_max=sd_max, level_index=lvl, kp_chunk=8)
+    hists = _extract_pallas(levels, coords, coords.astype(jnp.float32), R,
+                            sd, (1.0, 1.0, 1.0), extents, 8, p,
+                            interpret=True, level_index=lvl, valid=valid)
+    desc = jax.vmap(lambda h: _normalize(h, p))(hists)
+    desc = jnp.where(valid[:, None, None], desc, 0.0).reshape(K, -1)
+    err = np.abs(np.asarray(desc) - np.asarray(ref.desc))
+    assert err.max() < 1e-5, err.max()
+
+
 def test_aligned_flat_prep_matches_dense():
     """The tiling-preserving flatten (pad y to 8 / z to a 128-lane tile,
     reshape layout-free) must agree with the dense-repack flatten to f32

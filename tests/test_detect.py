@@ -242,11 +242,12 @@ def test_extrema_pallas_tile_vmem_budget():
     overflowed the fixed TX=4 on hardware) and always divides nx."""
     from sift3d_tpu.ops.extrema_kernel import _pick_cfg
 
-    # 256^2 planes fit whole-y double-buffered slabs at TX=4
-    assert _pick_cfg(256, 256, 256, cuboid=False) == (4, 256, True)
+    # 256^3 fits the FUSED variant (all 5 level slabs per spatial tile,
+    # each DoG voxel read once per tile instead of up to 3x)
+    assert _pick_cfg(256, 256, 256, cuboid=False) == (8, 64, True, True)
     # 512^2 lane planes: whole-y forced TX=1 single-buffered in round 4
     # (28 ms); y-tiling restores a wide double-buffered tile
-    tx, tyy, dbf = _pick_cfg(512, 512, 512, cuboid=False)
+    tx, tyy, dbf, fused = _pick_cfg(512, 512, 512, cuboid=False)
     assert tyy < 512 and dbf and tx >= 4
     assert _pick_cfg(33, 40, 128, cuboid=False)[0] == 1  # odd nx
     from sift3d_tpu.ops.extrema_kernel import _YH
@@ -254,13 +255,17 @@ def test_extrema_pallas_tile_vmem_budget():
                        (96, 130, 200), (33, 40, 128)):
         for cuboid in (False, True):
             for db in (False, True):
-                tx, tyy, dbf = _pick_cfg(nx, ny, nz, cuboid, db=db)
+                tx, tyy, dbf, fused = _pick_cfg(nx, ny, nz, cuboid,
+                                                db=db)
                 assert nx % tx == 0 and ny % tyy == 0
                 assert db or not dbf
+                assert not fused or dbf
                 tys = tyy + 2 * _YH if tyy != ny else ny
                 txc = tx + 2 if cuboid else tx
-                el = (tx + 2 + 2 * txc) * tys * (2 if dbf else 1) \
-                    + tx * tys + 6 * tx * tyy + tx * tyy // 2
+                slabs = (5 * (tx + 2) * tys if fused
+                         else (tx + 2 + 2 * txc) * tys)
+                el = slabs * (2 if dbf else 1) + tx * tys \
+                    + 6 * tx * tyy + (3 if fused else 1) * tx * tyy // 2
                 assert tx == 1 or el * nz * 4 <= 15 * 2 ** 20
 
 
@@ -284,7 +289,8 @@ def test_extrema_pallas_y_tiled_matches_xla():
     ref = np.asarray(extrema_mask_pallas(dog, thr, interpret=True,
                                          cfg=(4, 64, False)))
     for cfg in ((4, 16, False), (4, 16, True), (8, 32, True),
-                (2, 8, True)):
+                (2, 8, True), (4, 16, True, True), (8, 32, True, True),
+                (4, 64, True, True)):
         got = np.asarray(extrema_mask_pallas(dog, thr, interpret=True,
                                              cfg=cfg))
         assert np.array_equal(ref, got), cfg
